@@ -1,0 +1,111 @@
+"""Minimal fixed-column PDB I/O for C-alpha traces.
+
+Behavioral counterpart of /root/reference/genie/utils/feat_utils.py:67-186
+and :365-415: CA-only ATOM records, chains split on chain-ID change,
+gzip support, mean-centering on both read and write, and the motif group
+written as a segment id in column 72.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import List, Tuple
+
+import numpy as np
+
+from genie2_tpu.features.residues import (
+    NUM_RESTYPES,
+    RESTYPE_1_TO_3,
+    RESTYPE_3_TO_1,
+    RESTYPE_ORDER,
+    RESTYPES,
+)
+from genie2_tpu.features.schema import Features, create_empty_features
+
+
+def parse_pdb(filepath: str) -> Tuple[List[List[int]], List[List[List[float]]]]:
+    """Extract per-chain sequences (residue-type indices) and CA coordinates
+    (feat_utils.py:377-415)."""
+
+    def _handle(file):
+        seqs, coords = [], []
+        current_chain = None
+        for line in file:
+            if line.startswith("ATOM") and line[13:15].strip() == "CA":
+                restype_3 = line[17:20]
+                restype_1 = RESTYPE_3_TO_1[restype_3]
+                order = RESTYPE_ORDER[restype_1]
+                chain = line[21]
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+                if current_chain is None or chain != current_chain:
+                    seqs.append([])
+                    coords.append([])
+                    current_chain = chain
+                seqs[-1].append(order)
+                coords[-1].append([x, y, z])
+        return seqs, coords
+
+    if filepath.endswith(".gz"):
+        with gzip.open(filepath, "rt") as file:
+            return _handle(file)
+    with open(filepath, "r") as file:
+        return _handle(file)
+
+
+def summarize_pdb(filepath: str):
+    seqs, _ = parse_pdb(filepath)
+    return {
+        "num_residues": int(np.sum([len(s) for s in seqs])),
+        "num_chains": len(seqs),
+    }
+
+
+def features_from_pdb(filepath: str) -> Features:
+    """PDB file -> feature dict with one-hot aatype and mean-centered CA
+    coordinates (feat_utils.py:67-93)."""
+    seqs, coords = parse_pdb(filepath)
+    lengths = [len(s) for s in seqs]
+    features = create_empty_features(lengths)
+    aatype = np.eye(NUM_RESTYPES)[np.concatenate(seqs)]
+    positions = np.concatenate(coords)
+    positions = positions - positions.mean(axis=0, keepdims=True)
+    features["aatype"] = aatype.astype(int)
+    features["atom_positions"] = positions.astype(float)
+    return features
+
+
+def save_features_to_pdb(features: Features, filepath: str):
+    """Write a CA-only PDB: centered coords rounded to 3 decimals, motif
+    group as segment id at column 72, element C at column 77
+    (feat_utils.py:136-186)."""
+
+    def replace(string, index, substring):
+        return string[:index] + substring + string[index + len(substring):]
+
+    coords = features["atom_positions"]
+    coords = coords - coords.mean(axis=0, keepdims=True)
+    coords = np.around(coords, decimals=3)
+
+    with open(filepath, "w") as file:
+        for i in range(coords.shape[0]):
+            residue_name = RESTYPE_1_TO_3[RESTYPES[int(np.argmax(features["aatype"][i]))]]
+            group = (
+                " "
+                if features["fixed_group"][i] == 0
+                else chr(int(features["fixed_group"][i]) - 1 + ord("A"))
+            )
+            line = " " * 80
+            line = replace(line, 0, "ATOM")
+            line = replace(line, 6, str(i + 1).rjust(5))
+            line = replace(line, 13, "CA")
+            line = replace(line, 17, residue_name)
+            line = replace(line, 21, chr(ord("A") + int(features["chain_index"][i])))
+            line = replace(line, 22, str(int(features["residue_index"][i]) + 1).rjust(4))
+            line = replace(line, 30, str(coords[i][0]).rjust(8))
+            line = replace(line, 38, str(coords[i][1]).rjust(8))
+            line = replace(line, 46, str(coords[i][2]).rjust(8))
+            line = replace(line, 72, group.ljust(4))
+            line = replace(line, 77, "C")
+            file.write(line + "\n")

@@ -1,0 +1,211 @@
+"""Evoformer-style pair-representation stack.
+
+Behavioral counterparts of triangular_multiplicative_update.py,
+triangular_attention.py, pair_transition.py, dropout.py and
+pair_transform_net.py under /root/reference/genie/model/. The triangle
+einsums contract over the third node on the MXU; the optional Pallas fused
+kernel lives in genie2_tpu.ops.triangle and is dispatched via `use_pallas`.
+
+The reference's eval-time `chunk_layer` activation chunking
+(tensor_utils.py:109-213) is intentionally absent: XLA fuses the transition
+and attention elementwise chains, and memory is managed by remat at the
+training-step level instead.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from genie2_tpu.nn.primitives import Attention, Linear
+
+
+class TriangleMultiplicativeUpdate(nn.Module):
+    """AF2 Algorithms 11/12 (triangular_multiplicative_update.py:25-110)."""
+
+    c_z: int
+    c_hidden: int
+    outgoing: bool = True
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, z, mask=None):
+        if mask is None:
+            mask = jnp.ones(z.shape[:-1], dtype=z.dtype)
+        mask = mask[..., None].astype(z.dtype)
+
+        z = nn.LayerNorm(name="layer_norm_in")(z)
+        a = Linear(self.c_hidden, name="linear_a_p")(z) * jax.nn.sigmoid(
+            Linear(self.c_hidden, init="gating", name="linear_a_g")(z)
+        )
+        a = a * mask
+        b = Linear(self.c_hidden, name="linear_b_p")(z) * jax.nn.sigmoid(
+            Linear(self.c_hidden, init="gating", name="linear_b_g")(z)
+        )
+        b = b * mask
+
+        if self.outgoing:
+            # x[i, j, c] = sum_k a[i, k, c] b[j, k, c]
+            x = jnp.einsum("...ikc,...jkc->...ijc", a, b)
+        else:
+            # x[i, j, c] = sum_k a[k, i, c] b[k, j, c]
+            x = jnp.einsum("...kic,...kjc->...ijc", a, b)
+
+        x = nn.LayerNorm(name="layer_norm_out")(x)
+        x = Linear(self.c_z, init="final", name="linear_z")(x)
+        g = jax.nn.sigmoid(Linear(self.c_z, init="gating", name="linear_g")(z))
+        return x * g
+
+
+class TriangleAttention(nn.Module):
+    """AF2 Algorithms 13/14 (triangular_attention.py:30-144). `starting`
+    selects row-wise attention; the ending-node variant transposes the pair
+    axes around the same computation."""
+
+    c_in: int
+    c_hidden: int
+    no_heads: int
+    starting: bool = True
+    inf: float = 1e9
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        if mask is None:
+            mask = jnp.ones(x.shape[:-1], dtype=x.dtype)
+        if not self.starting:
+            x = jnp.swapaxes(x, -2, -3)
+            mask = jnp.swapaxes(mask, -1, -2)
+
+        x = nn.LayerNorm(name="layer_norm")(x)
+        # [*, I, 1, 1, J] mask bias over keys
+        mask_bias = self.inf * (mask[..., :, None, None, :].astype(x.dtype) - 1)
+        # [*, 1, H, I, J] triangle bias from the pair rep itself
+        triangle_bias = Linear(
+            self.no_heads, use_bias=False, init="normal", name="linear"
+        )(x)
+        triangle_bias = jnp.moveaxis(triangle_bias, -1, -3)[..., None, :, :, :]
+
+        out = Attention(
+            c_q=self.c_in,
+            c_k=self.c_in,
+            c_v=self.c_in,
+            c_hidden=self.c_hidden,
+            no_heads=self.no_heads,
+            name="mha",
+        )(x, x, x, biases=[mask_bias, triangle_bias])
+
+        if not self.starting:
+            out = jnp.swapaxes(out, -2, -3)
+        return out
+
+
+class PairTransition(nn.Module):
+    """AF2 Algorithm 15 (pair_transition.py:24-87)."""
+
+    c_z: int
+    n: int
+
+    @nn.compact
+    def __call__(self, z, mask=None):
+        if mask is None:
+            mask = jnp.ones(z.shape[:-1], dtype=z.dtype)
+        mask = mask[..., None].astype(z.dtype)
+        z = nn.LayerNorm(name="layer_norm")(z)
+        z = Linear(self.n * self.c_z, init="relu", name="linear_1")(z)
+        z = jax.nn.relu(z)
+        return Linear(self.c_z, init="final", name="linear_2")(z) * mask
+
+
+class PairTransformLayer(nn.Module):
+    """TriMulOut + TriMulIn (row dropout) [+ TriAttStart/End] + PairTransition,
+    residual, masked (pair_transform_net.py:18-119)."""
+
+    c_p: int
+    include_mul_update: bool
+    include_tri_att: bool
+    c_hidden_mul: int
+    c_hidden_tri_att: int
+    n_head_tri: int
+    tri_dropout: float
+    pair_transition_n: int
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, p, pair_mask, deterministic: bool = True):
+        # Row-wise dropout shares the mask along the i axis (dim -3);
+        # column-wise along the j axis (dim -2) (dropout.py:23-77).
+        drop_row = nn.Dropout(
+            self.tri_dropout, broadcast_dims=(p.ndim - 3,), deterministic=deterministic
+        )
+        drop_col = nn.Dropout(
+            self.tri_dropout, broadcast_dims=(p.ndim - 2,), deterministic=deterministic
+        )
+
+        if self.include_mul_update:
+            p = p + drop_row(
+                TriangleMultiplicativeUpdate(
+                    self.c_p, self.c_hidden_mul, outgoing=True,
+                    use_pallas=self.use_pallas, name="tri_mul_out",
+                )(p, pair_mask)
+            )
+            p = p + drop_row(
+                TriangleMultiplicativeUpdate(
+                    self.c_p, self.c_hidden_mul, outgoing=False,
+                    use_pallas=self.use_pallas, name="tri_mul_in",
+                )(p, pair_mask)
+            )
+        if self.include_tri_att:
+            p = p + drop_row(
+                TriangleAttention(
+                    self.c_p, self.c_hidden_tri_att, self.n_head_tri,
+                    starting=True, name="tri_att_start",
+                )(p, pair_mask)
+            )
+            p = p + drop_col(
+                TriangleAttention(
+                    self.c_p, self.c_hidden_tri_att, self.n_head_tri,
+                    starting=False, name="tri_att_end",
+                )(p, pair_mask)
+            )
+        p = p + PairTransition(self.c_p, self.pair_transition_n, name="pair_transition")(
+            p, pair_mask
+        )
+        return p * pair_mask[..., None].astype(p.dtype)
+
+
+class PairTransformNet(nn.Module):
+    """Stack of PairTransformLayers (pair_transform_net.py:121-231)."""
+
+    c_p: int
+    n_pair_transform_layer: int
+    include_mul_update: bool
+    include_tri_att: bool
+    c_hidden_mul: int
+    c_hidden_tri_att: int
+    n_head_tri: int
+    tri_dropout: float
+    pair_transition_n: int
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, p, features, deterministic: bool = True):
+        mask = features["residue_mask"].astype(p.dtype)
+        pair_mask = mask[:, :, None] * mask[:, None, :]
+        for i in range(self.n_pair_transform_layer):
+            p = PairTransformLayer(
+                c_p=self.c_p,
+                include_mul_update=self.include_mul_update,
+                include_tri_att=self.include_tri_att,
+                c_hidden_mul=self.c_hidden_mul,
+                c_hidden_tri_att=self.c_hidden_tri_att,
+                n_head_tri=self.n_head_tri,
+                tri_dropout=self.tri_dropout,
+                pair_transition_n=self.pair_transition_n,
+                use_pallas=self.use_pallas,
+                name=f"layer_{i}",
+            )(p, pair_mask, deterministic=deterministic)
+        return p

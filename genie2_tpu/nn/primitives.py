@@ -1,0 +1,131 @@
+"""Linear layers with the reference's initializer table, plus gated MHA.
+
+Behavioral counterpart of /root/reference/genie/model/modules/primitives.py:
+31-281. Weight-layout note: torch stores Linear weights as [out, in]; flax
+kernels are [in, out]. The reference's `_calculate_fan` (primitives.py:31-47)
+is idiosyncratic — for a [out, in] weight it computes
+fan_in = out^2 * in and fan_out = out * in^2 — and the shipped checkpoints
+were trained with it, so we reproduce that formula exactly rather than the
+textbook fan.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# std of the standard normal truncated to [-2, 2]
+_TRUNCNORM_STD = 0.8796256610342398
+
+SOFTPLUS_INVERSE_1 = 0.541324854612918  # softplus^-1(1), primitives.py:90-93
+
+
+def _reference_fan(out_dim: int, in_dim: int, fan: str) -> float:
+    """The reference's fan computation on a torch [out, in] weight."""
+    prod = out_dim * in_dim
+    if fan == "fan_in":
+        return prod * out_dim
+    if fan == "fan_out":
+        return prod * in_dim
+    if fan == "fan_avg":
+        return prod * (out_dim + in_dim) / 2
+    raise ValueError(fan)
+
+
+def trunc_normal_initializer(scale: float = 1.0, fan: str = "fan_in"):
+    """Truncated-normal init matching primitives.py:50-61 (reference fan)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        in_dim, out_dim = shape
+        f = max(1.0, _reference_fan(out_dim, in_dim, fan))
+        std = math.sqrt(scale / f) / _TRUNCNORM_STD
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+def normal_initializer():
+    """torch kaiming_normal_(nonlinearity="linear"): N(0, 1/sqrt(fan_in))
+    with the true fan_in (primitives.py:86-87)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        in_dim, _ = shape
+        return jax.random.normal(key, shape, dtype) / math.sqrt(in_dim)
+
+    return init
+
+
+def make_kernel_init(init: str):
+    if init == "default":
+        return trunc_normal_initializer(scale=1.0)
+    if init == "relu":
+        return trunc_normal_initializer(scale=2.0)
+    if init == "glorot":
+        return jax.nn.initializers.glorot_uniform()
+    if init in ("gating", "final"):
+        return jax.nn.initializers.zeros
+    if init == "normal":
+        return normal_initializer()
+    raise ValueError(f"Invalid init string: {init}")
+
+
+class Linear(nn.Module):
+    """nn.Dense with the reference init table (primitives.py:96-160)."""
+
+    features: int
+    use_bias: bool = True
+    init: str = "default"
+
+    @nn.compact
+    def __call__(self, x):
+        bias_init = (
+            jax.nn.initializers.ones if self.init == "gating" else jax.nn.initializers.zeros
+        )
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=make_kernel_init(self.init),
+            bias_init=bias_init,
+        )(x)
+
+
+class Attention(nn.Module):
+    """Gated multi-head attention (primitives.py:163-281). `c_hidden` is the
+    per-head dimension; biases are added to the [*, H, Q, K] logits."""
+
+    c_q: int
+    c_k: int
+    c_v: int
+    c_hidden: int
+    no_heads: int
+    gating: bool = True
+
+    @nn.compact
+    def __call__(self, q_x, k_x, v_x, biases: Optional[Sequence[jnp.ndarray]] = None):
+        h, c = self.no_heads, self.c_hidden
+        q = Linear(h * c, use_bias=False, init="glorot")(q_x)
+        k = Linear(h * c, use_bias=False, init="glorot")(k_x)
+        v = Linear(h * c, use_bias=False, init="glorot")(v_x)
+
+        q = q.reshape(*q.shape[:-1], h, c)
+        k = k.reshape(*k.shape[:-1], h, c)
+        v = v.reshape(*v.shape[:-1], h, c)
+
+        # [*, H, Q, K]
+        a = jnp.einsum("...qhc,...khc->...hqk", q, k) / math.sqrt(c)
+        if biases is not None:
+            for b in biases:
+                a = a + b
+        a = jax.nn.softmax(a, axis=-1)
+
+        # [*, Q, H, C]
+        o = jnp.einsum("...hqk,...khc->...qhc", a, v)
+        if self.gating:
+            g = jax.nn.sigmoid(Linear(h * c, init="gating")(q_x))
+            o = o * g.reshape(*g.shape[:-1], h, c)
+        o = o.reshape(*o.shape[:-2], h * c)
+        return Linear(self.c_q, init="final")(o)

@@ -1,0 +1,53 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU platform so sharding/collective tests
+run anywhere, and makes the repo root + the read-only torch reference
+importable for parity tests.
+
+NOTE: this environment pre-imports jax (sitecustomize) with a TPU plugin
+selected via JAX_PLATFORMS, so plain env-var overrides are too late — we must
+go through jax.config.update BEFORE any backend is initialized.
+"""
+
+import os
+import sys
+
+# Harmless when jax reads them fresh; the authoritative override is below.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_ROOT = "/root/reference"
+
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import pytest  # noqa: E402
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "genie"))
+
+
+@pytest.fixture(scope="session")
+def reference_modules():
+    """Import the torch reference (namespace package) for parity tests."""
+    if not reference_available():
+        pytest.skip("torch reference not available")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import genie.utils.geo_utils as geo_utils
+    import genie.utils.affine_utils as affine_utils
+    import genie.utils.encoding as encoding
+    import genie.diffusion.schedule as schedule
+
+    return {
+        "geo_utils": geo_utils,
+        "affine_utils": affine_utils,
+        "encoding": encoding,
+        "schedule": schedule,
+    }
