@@ -1,0 +1,104 @@
+"""Benchmark: unconditional sampling throughput at L=256, 1000-step DDPM.
+
+The BASELINE headline metric is samples/min at L=256 (batch 4, cosine
+schedule) — see /root/repo/BASELINE.md. The reference publishes no numbers;
+until the torch reference is measured on an A100, `vs_baseline` divides by a
+documented engineering estimate of the reference's A100 throughput for this
+exact workload (15.7M-param denoiser, N=256, batch 4, 1000 sequential
+denoiser calls + per-step Frenet-frame Python loop): ~75 s per batch of 4,
+i.e. ~3.2 samples/min.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/min", "vs_baseline": N}
+
+Env knobs: BENCH_LENGTH (256), BENCH_BATCH (4), BENCH_STEPS (1000),
+BENCH_REPEATS (1).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+A100_REFERENCE_SAMPLES_PER_MIN = 3.2  # estimate; see module docstring
+
+
+def main():
+    from genie2_tpu.config import Config
+    from genie2_tpu.diffusion import Schedule
+    from genie2_tpu.features import batchify, create_empty_features, to_device
+    from genie2_tpu.geometry import Rigid, frenet_frames
+    from genie2_tpu.nn import Denoiser
+    from genie2_tpu.sampling import ancestral_sample
+
+    length = int(os.environ.get("BENCH_LENGTH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+
+    config = Config(
+        overrides={"maximumNumResidues": length, "numTimesteps": n_steps}
+    )
+    model = Denoiser.from_config(config)
+    schedule = Schedule.create(n_steps)
+
+    feats = to_device(
+        batchify([create_empty_features([length]) for _ in range(batch)])
+    )
+    key = jax.random.PRNGKey(0)
+    trans0 = jax.random.normal(key, (batch, length, 3), dtype=jnp.float32)
+    rots0 = frenet_frames(trans0, feats["chain_index"], feats["residue_mask"])
+    t0 = jnp.full((batch,), n_steps, jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), Rigid(rots0, trans0), t0, feats)
+
+    def run(k):
+        out = ancestral_sample(
+            model.apply, params, schedule, feats, k, jnp.float32(0.6), n_steps
+        )
+        out.block_until_ready()
+        return out
+
+    # Warmup (includes compile).
+    t_compile = time.perf_counter()
+    run(jax.random.PRNGKey(2))
+    compile_and_first_run_s = time.perf_counter() - t_compile
+
+    times = []
+    for i in range(repeats):
+        t_start = time.perf_counter()
+        run(jax.random.PRNGKey(3 + i))
+        times.append(time.perf_counter() - t_start)
+
+    best_s = min(times)
+    samples_per_min = batch / best_s * 60.0
+    step_ms = best_s / n_steps * 1e3
+
+    result = {
+        "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",
+        "value": round(samples_per_min, 3),
+        "unit": "samples/min",
+        "vs_baseline": round(samples_per_min / A100_REFERENCE_SAMPLES_PER_MIN, 3),
+        "extra": {
+            "denoiser_step_ms": round(step_ms, 2),
+            "batch": batch,
+            "length": length,
+            "n_steps": n_steps,
+            "compile_and_first_run_s": round(compile_and_first_run_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    # The TPU tunnel in this environment hangs at interpreter teardown;
+    # everything is flushed, so exit hard.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

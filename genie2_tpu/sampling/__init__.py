@@ -1,0 +1,49 @@
+from genie2_tpu.sampling.base import BaseSampler, bucket_length
+from genie2_tpu.sampling.ddpm import (
+    ancestral_sample,
+    ancestral_sample_with_trajectory,
+    reverse_step,
+)
+from genie2_tpu.sampling.unconditional import UnconditionalSampler
+from genie2_tpu.sampling.scaffold import ScaffoldSampler
+from genie2_tpu.sampling.smc import SMCSampler, TDSTrace, tds_sample
+from genie2_tpu.sampling.motif_target import load_motif_target, parse_motif_target_pdb
+from genie2_tpu.sampling.resampling import (
+    RESAMPLERS,
+    ess_from_log_weights,
+    multinomial_resample_indices,
+    normalize_log_weights,
+    stratified_resample_indices,
+    systematic_resample_indices,
+)
+from genie2_tpu.sampling.twisting import (
+    enumerate_motif_placements,
+    placements_to_positions,
+    twisting_log_prob,
+    xstart_variance,
+)
+
+__all__ = [
+    "BaseSampler",
+    "bucket_length",
+    "ancestral_sample",
+    "ancestral_sample_with_trajectory",
+    "reverse_step",
+    "UnconditionalSampler",
+    "ScaffoldSampler",
+    "SMCSampler",
+    "TDSTrace",
+    "tds_sample",
+    "load_motif_target",
+    "parse_motif_target_pdb",
+    "RESAMPLERS",
+    "ess_from_log_weights",
+    "multinomial_resample_indices",
+    "normalize_log_weights",
+    "stratified_resample_indices",
+    "systematic_resample_indices",
+    "enumerate_motif_placements",
+    "placements_to_positions",
+    "twisting_log_prob",
+    "xstart_variance",
+]

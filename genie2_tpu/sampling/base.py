@@ -1,0 +1,129 @@
+"""Sampler orchestration.
+
+Keeps the reference's template-method API surface
+(/root/reference/genie/sampler/base.py:15-323: setup / on_sample_start /
+create_features / on_sample_end, required-parameter validation) while the
+inner loop is the single jitted scan from genie2_tpu.sampling.ddpm.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genie2_tpu.diffusion import Schedule
+from genie2_tpu.features import batchify, debatchify, to_device, to_host
+from genie2_tpu.sampling.ddpm import ancestral_sample
+
+
+def bucket_length(n: int, multiple: int = 32) -> int:
+    """Round a sequence length up to a bucket so XLA compiles once per
+    bucket instead of once per length (the reference re-enters the Python
+    loop per length; we re-enter a cached executable per bucket)."""
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+class BaseSampler(ABC):
+    """Template-method sampler over a jitted reverse-diffusion scan."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        config,
+        bucket: int = 32,
+    ):
+        self.model = model
+        self.params = params
+        self.config = config
+        self.schedule = Schedule.create(
+            config.diffusion["n_timestep"], config.diffusion["schedule"]
+        )
+        self.bucket = bucket
+        self.required = ["scale", "outdir", "num_samples", "prefix", "offset"]
+        self.setup()
+
+    # ------------------------------------------------------------------ #
+    # Hooks (the reference's abstract surface, base.py:39-129)
+    # ------------------------------------------------------------------ #
+
+    @abstractmethod
+    def setup(self):
+        ...
+
+    @abstractmethod
+    def on_sample_start(self, params: Dict[str, Any]):
+        ...
+
+    @abstractmethod
+    def create_np_features(self, params: Dict[str, Any]):
+        ...
+
+    @abstractmethod
+    def on_sample_end(self, params: Dict[str, Any], list_np_features: List[Dict]):
+        ...
+
+    def add_required_parameter(self, name: str):
+        self.required.append(name)
+
+    def validate_parameters(self, params: Dict[str, Any]) -> bool:
+        return all(name in params for name in self.required)
+
+    # ------------------------------------------------------------------ #
+    # Sampling
+    # ------------------------------------------------------------------ #
+
+    def sample(self, params: Dict[str, Any], key: Optional[jax.Array] = None):
+        if not self.validate_parameters(params):
+            missing = [n for n in self.required if n not in params]
+            raise ValueError(f"missing required sampling parameters: {missing}")
+        self.on_sample_start(params)
+        list_np_features = self._sample(params, key)
+        self.on_sample_end(params, list_np_features)
+        return list_np_features
+
+    def _apply_fn(self, p, ts, t_vec, feats):
+        return self.model.apply(p, ts, t_vec, feats)
+
+    def _sample(self, params: Dict[str, Any], key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.PRNGKey(int(params.get("seed", 0)) + int(params["offset"]))
+
+        host_features = [
+            self.create_np_features(params) for _ in range(params["num_samples"])
+        ]
+        batch = batchify([dict(f) for f in host_features])
+
+        # Pad the residue axis to a bucket; padded positions are masked and
+        # provably do not affect real residues (tests/test_denoiser.py).
+        n = batch["residue_mask"].shape[1]
+        n_padded = bucket_length(n, self.bucket)
+        if n_padded != n:
+            pad = n_padded - n
+            for k, v in batch.items():
+                if k == "fixed_structure_mask":
+                    batch[k] = np.pad(v, [(0, 0), (0, pad), (0, pad)])
+                elif not k.startswith("num"):
+                    batch[k] = np.pad(
+                        v, [(0, 0), (0, pad)] + [(0, 0)] * (v.ndim - 2)
+                    )
+
+        features = to_device(batch)
+        trans = ancestral_sample(
+            self.model.apply,
+            self.params,
+            self.schedule,
+            features,
+            key,
+            jnp.float32(params["scale"]),
+            self.schedule.n_timestep,
+        )
+
+        features = dict(features)
+        features["atom_positions"] = trans
+        np_features = to_host(features)
+        return debatchify(np_features)

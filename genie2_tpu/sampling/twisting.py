@@ -1,0 +1,111 @@
+"""Twisted Diffusion Sampler twisting potential + motif placement machinery.
+
+Behavioral counterpart of the placement enumeration
+(/root/reference/genie/sampler/unconditional_smc.py:172-231), the x-start
+variance table (:291-309) and the twisting potential (:310-345).
+
+Placements are enumerated host-side into a dense [n_offsets, n_motif_res]
+int32 position table; on device the potential is a gather + center + squared
+distance + logsumexp — no boolean masks, no autograd plumbing (jax.grad
+differentiates straight through the denoiser).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def enumerate_motif_placements(
+    length: int,
+    segment_lengths: Sequence[int],
+    max_offsets: int = 1000,
+    rng: Optional[np.random.Generator] = None,
+) -> List[Tuple[Tuple[int, int], ...]]:
+    """All non-overlapping, in-order placements of the given segments in a
+    sequence of `length` residues, as ((start, end), ...) tuples (inclusive
+    ends); uniformly subsampled to max_offsets when exhaustive enumeration
+    is larger (unconditional_smc.py:173-213)."""
+
+    def recurse(L, seg_lens):
+        first = seg_lens[0]
+        out = []
+        for st in range(0, L - sum(seg_lens) + 1):
+            end = st + first - 1
+            if len(seg_lens) == 1:
+                out.append(((st, end),))
+            else:
+                for later in recurse(L - (end + 1), seg_lens[1:]):
+                    shifted = tuple((s + end + 1, e + end + 1) for s, e in later)
+                    out.append(((st, end),) + shifted)
+        return out
+
+    placements = recurse(length, list(segment_lengths))
+    if len(placements) > max_offsets:
+        rng = rng or np.random.default_rng()
+        idx = rng.choice(len(placements), max_offsets, replace=False)
+        placements = [placements[i] for i in idx]
+    return placements
+
+
+def placements_to_positions(
+    placements: List[Tuple[Tuple[int, int], ...]]
+) -> np.ndarray:
+    """[n_offsets, n_motif_res] residue indices, segments concatenated in
+    order — the dense-gather equivalent of the reference's boolean
+    motif_index_mask (unconditional_smc.py:218-231)."""
+    rows = []
+    for placement in placements:
+        row = []
+        for start, end in placement:
+            row.extend(range(start, end + 1))
+        rows.append(row)
+    return np.asarray(rows, dtype=np.int32)
+
+
+def xstart_variance(alphas_cumprod_t, tausq: float = 0.012):
+    """sigma~^2 = sigma^2 tau^2 / (sigma^2 + tau^2) with
+    sigma^2 = (1 - abar)/abar — the reference's var_type 6
+    (unconditional_smc.py:291-309)."""
+    sigmasq = (1.0 - alphas_cumprod_t) / alphas_cumprod_t
+    return (sigmasq * tausq) / (sigmasq + tausq)
+
+
+def twisting_log_prob(
+    x0: jnp.ndarray,
+    positions: jnp.ndarray,
+    motif_target: jnp.ndarray,
+    variance,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """log p~(y | x_t) = logsumexp_o [ -|| center(x0[o-placement]) - y ||^2
+    / (2 sigma~^2) ] - log O  (unconditional_smc.py:310-345).
+
+    Args:
+        x0: [P, L, 3] predicted x-start per particle.
+        positions: [O, M] int32 placement table.
+        motif_target: [M, 3] COM-centered motif coordinates.
+        variance: scalar sigma~^2.
+
+    Returns:
+        (log_prob [P], per-placement scores [P, O]).
+    """
+    # Gather placements: [P, O, M, 3]
+    sel = x0[:, positions, :]
+    sel = sel - jnp.mean(sel, axis=-2, keepdims=True)
+    score = -jnp.sum((sel - motif_target[None, None]) ** 2, axis=(-1, -2)) / (
+        2.0 * variance
+    )
+    n_offsets = positions.shape[0]
+    log_prob = jax.nn.logsumexp(score, axis=-1) - jnp.log(float(n_offsets))
+    return log_prob, score
+
+
+def motif_distance(x0, positions, motif_target):
+    """Mean squared deviation between placed-and-centered x0 and the motif,
+    for monitoring (unconditional_smc.py:327)."""
+    sel = x0[:, positions, :]
+    sel = sel - jnp.mean(sel, axis=-2, keepdims=True)
+    return jnp.mean((sel - motif_target[None, None]) ** 2)

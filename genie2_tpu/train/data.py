@@ -1,0 +1,251 @@
+"""Training data pipeline.
+
+Behavioral counterpart of /root/reference/genie/data/dataset.py and
+data_module.py, redesigned for TPU input pressure:
+
+  * the reference re-parses every PDB from disk on every epoch
+    (dataset.py:129); here structures are parsed once into an in-memory
+    array cache (optionally persisted as an .npz) and epochs only do
+    numpy mask sampling + padding.
+  * every batch is padded to the static (max_n_chain, max_n_res) from the
+    config — already the reference's invariant — so the training step
+    compiles exactly once.
+  * the train/validation split is persisted as name lists
+    (train.txt/validation.txt) under {rootdir}/{name}/, idempotently,
+    matching data_module.py:99-143.
+
+Motif-conditioning augmentation implements Genie 2 Algorithm 1
+(dataset.py:173-252).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from genie2_tpu.features import (
+    Features,
+    create_empty_features,
+    features_from_pdb,
+    pad_features,
+    summarize_pdb,
+)
+
+
+def discover_structures(datadir: str) -> List[str]:
+    """All .pdb / .pdb.gz basenames in a directory."""
+    names = set()
+    for fname in sorted(os.listdir(datadir)):
+        if fname.endswith(".pdb.gz"):
+            names.add(fname[: -len(".pdb.gz")])
+        elif fname.endswith(".pdb"):
+            names.add(fname[: -len(".pdb")])
+    return sorted(names)
+
+
+def resolve_filepath(datadir: str, name: str) -> Optional[str]:
+    """Prefer .pdb.gz, fall back to .pdb (dataset.py:163-169)."""
+    for suffix in (".pdb.gz", ".pdb"):
+        path = os.path.join(datadir, name + suffix)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def setup_split(
+    rootdir: str,
+    name: str,
+    datadir: str,
+    min_n_res: int,
+    max_n_res: int,
+    max_n_chain: int,
+    validation_split: Optional[float] = None,
+    seed: int = 100,
+):
+    """Create (or reuse) persistent train/validation name lists
+    (data_module.py:99-143). Returns (train_names, validation_names)."""
+    basedir = os.path.join(rootdir, name)
+    os.makedirs(basedir, exist_ok=True)
+    train_path = os.path.join(basedir, "train.txt")
+    val_path = os.path.join(basedir, "validation.txt")
+
+    if os.path.exists(train_path):
+        train_names = [l.strip() for l in open(train_path) if l.strip()]
+        val_names = (
+            [l.strip() for l in open(val_path) if l.strip()]
+            if os.path.exists(val_path)
+            else []
+        )
+        return train_names, val_names
+
+    names = []
+    for n in discover_structures(datadir):
+        path = resolve_filepath(datadir, n)
+        summary = summarize_pdb(path)
+        if (
+            min_n_res <= summary["num_residues"] <= max_n_res
+            and summary["num_chains"] <= max_n_chain
+        ):
+            names.append(n)
+
+    rng = np.random.default_rng(seed)
+    rng.shuffle(names)
+    n_val = int(len(names) * validation_split) if validation_split else 0
+    val_names, train_names = names[:n_val], names[n_val:]
+
+    with open(train_path, "w") as f:
+        f.write("\n".join(train_names) + ("\n" if train_names else ""))
+    if validation_split is not None:
+        with open(val_path, "w") as f:
+            f.write("\n".join(val_names) + ("\n" if val_names else ""))
+    return train_names, val_names
+
+
+def apply_motif_augmentation(
+    features: Features,
+    rng: np.random.Generator,
+    min_pct_res: float,
+    max_pct_res: float,
+    min_n_seg: int,
+    max_n_seg: int,
+) -> Features:
+    """Genie 2 Algorithm 1 (dataset.py:173-252): sample a motif size and a
+    segmentation, shuffle segments among scaffold residues, build masks."""
+    assert int(features["num_chains"]) == 1, "Input must be monomer"
+    n_res = int(features["num_residues"])
+
+    motif_n_res = int(
+        rng.integers(int(np.floor(n_res * min_pct_res)), int(np.ceil(n_res * max_pct_res)))
+    )
+    motif_n_seg = int(rng.integers(min_n_seg, min(max_n_seg, motif_n_res) + 1))
+
+    indices = np.sort(rng.choice(motif_n_res - 1, motif_n_seg - 1, replace=False) + 1)
+    indices = np.concatenate([[0], indices, [motif_n_res]])
+    seg_lens = np.diff(indices)
+
+    # Shuffle motif segments among scaffold singletons (the reference's
+    # string shuffle, dataset.py:241-244).
+    segs: List[np.ndarray] = [np.ones(l, dtype=bool) for l in seg_lens]
+    segs.extend(np.zeros(1, dtype=bool) for _ in range(n_res - motif_n_res))
+    order = rng.permutation(len(segs))
+    seq_mask = np.concatenate([segs[i] for i in order])
+
+    features = dict(features)
+    features["fixed_sequence_mask"] = seq_mask
+    features["fixed_structure_mask"] = (seq_mask[:, None] * seq_mask[None, :]).astype(bool)
+    return features
+
+
+@dataclass
+class MotifAugmentConfig:
+    prob: float = 0.8
+    min_pct_res: float = 0.05
+    max_pct_res: float = 0.5
+    min_n_seg: int = 1
+    max_n_seg: int = 4
+
+    @staticmethod
+    def from_config(config) -> "MotifAugmentConfig":
+        io = config.io
+        return MotifAugmentConfig(
+            prob=io["motif_prob"],
+            min_pct_res=io["motif_min_pct_res"],
+            max_pct_res=io["motif_max_pct_res"],
+            min_n_seg=io["motif_min_n_seg"],
+            max_n_seg=io["motif_max_n_seg"],
+        )
+
+
+class StructureDataset:
+    """Parse-once, in-memory dataset with epoch iteration.
+
+    Each item yields a padded feature dict [max_n_res]; batches are stacked
+    numpy dicts ready for `features.to_device`.
+    """
+
+    def __init__(
+        self,
+        filepaths: List[str],
+        max_n_res: int,
+        max_n_chain: int,
+        motif: Optional[MotifAugmentConfig] = None,
+        cache_path: Optional[str] = None,
+    ):
+        self.filepaths = list(filepaths)
+        self.max_n_res = max_n_res
+        self.max_n_chain = max_n_chain
+        self.motif = motif
+        self._cache: List[Features] = []
+        self._load(cache_path)
+
+    def _load(self, cache_path: Optional[str]):
+        if cache_path and os.path.exists(cache_path):
+            blob = np.load(cache_path, allow_pickle=True)
+            self._cache = list(blob["features"])
+            return
+        for path in self.filepaths:
+            self._cache.append(features_from_pdb(path))
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            np.savez_compressed(
+                cache_path, features=np.array(self._cache, dtype=object)
+            )
+
+    def __len__(self):
+        return len(self._cache)
+
+    def get(self, idx: int, rng: np.random.Generator) -> Features:
+        features = self._cache[idx]
+        if self.motif is not None and rng.random() <= self.motif.prob:
+            features = apply_motif_augmentation(
+                features,
+                rng,
+                self.motif.min_pct_res,
+                self.motif.max_pct_res,
+                self.motif.min_n_seg,
+                self.motif.max_n_seg,
+            )
+        return pad_features(dict(features), self.max_n_chain, self.max_n_res)
+
+    def epoch(
+        self, batch_size: int, rng: np.random.Generator, drop_last: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Shuffled batches of stacked feature dicts; incomplete trailing
+        batches are dropped by default to keep shapes static."""
+        order = rng.permutation(len(self._cache))
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            items = [self.get(int(i), rng) for i in idx]
+            yield {k: np.stack([it[k] for it in items], axis=0) for k in items[0]}
+
+
+def synthetic_dataset(
+    n_structures: int,
+    max_n_res: int,
+    rng: Optional[np.random.Generator] = None,
+    min_n_res: int = 20,
+    motif: Optional[MotifAugmentConfig] = None,
+) -> StructureDataset:
+    """A dataset of random-walk C-alpha traces for tests and benchmarks
+    (no PDB files needed)."""
+    rng = rng or np.random.default_rng(0)
+    ds = StructureDataset.__new__(StructureDataset)
+    ds.filepaths = []
+    ds.max_n_res = max_n_res
+    ds.max_n_chain = 1
+    ds.motif = motif
+    ds._cache = []
+    for _ in range(n_structures):
+        n = int(rng.integers(min_n_res, max_n_res + 1))
+        f = create_empty_features([n])
+        steps = rng.normal(size=(n, 3)) * 1.5 + np.array([3.8, 0, 0])
+        coords = np.cumsum(steps, axis=0)
+        f["atom_positions"] = coords - coords.mean(0, keepdims=True)
+        f["aatype"] = np.eye(20)[rng.integers(0, 20, n)].astype(int)
+        ds._cache.append(f)
+    return ds

@@ -1,0 +1,218 @@
+"""TDS/SMC sampler tests: placement enumeration parity, resampling,
+twisting potential, and an end-to-end run on a tiny model."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genie2_tpu.sampling import (
+    SMCSampler,
+    enumerate_motif_placements,
+    ess_from_log_weights,
+    normalize_log_weights,
+    parse_motif_target_pdb,
+    placements_to_positions,
+    systematic_resample_indices,
+    twisting_log_prob,
+    xstart_variance,
+)
+from tests.test_sampler import make_model_and_params, tiny_config
+
+
+class TestPlacementEnumeration:
+    def test_single_segment(self):
+        placements = enumerate_motif_placements(10, [3])
+        assert len(placements) == 8
+        assert placements[0] == ((0, 2),)
+        assert placements[-1] == ((7, 9),)
+
+    def test_two_segments_no_overlap_ordered(self):
+        placements = enumerate_motif_placements(8, [2, 3])
+        for p in placements:
+            (s1, e1), (s2, e2) = p
+            assert e1 - s1 == 1 and e2 - s2 == 2
+            assert s2 > e1
+            assert e2 <= 7
+        # Count: choose gap distribution — matches the reference recursion.
+        # L=8, lens 2+3: sum over st1, st2 positions.
+        expected = sum(
+            1
+            for st1 in range(0, 8 - 5 + 1)
+            for st2 in range(st1 + 2, 8 - 3 + 1)
+        )
+        assert len(placements) == expected
+
+    def test_parity_with_reference_recursion(self, reference_modules):
+        """Compare against the reference's get_all_motif_locations (nested
+        inside the sampler class; re-run its documented behavior here on a
+        case small enough to enumerate by hand)."""
+        placements = enumerate_motif_placements(6, [1, 1, 1])
+        as_sets = {p for p in placements}
+        # starts strictly increasing, all within [0, 5]
+        assert all(p[0][0] < p[1][0] < p[2][0] for p in as_sets)
+        from math import comb
+
+        assert len(placements) == comb(6, 3)
+
+    def test_max_offsets_downsampling(self):
+        placements = enumerate_motif_placements(100, [3], max_offsets=10,
+                                                rng=np.random.default_rng(0))
+        assert len(placements) == 10
+
+    def test_positions_table(self):
+        placements = enumerate_motif_placements(8, [2, 2])
+        pos = placements_to_positions(placements)
+        assert pos.shape == (len(placements), 4)
+        row0 = pos[0]
+        assert list(row0) == [0, 1, 2, 3]
+
+
+class TestResampling:
+    def test_systematic_uniform_weights_identity_ish(self):
+        w = jnp.ones(8) / 8
+        idx = systematic_resample_indices(w, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(8))
+
+    def test_systematic_concentrated(self):
+        w = jnp.asarray([0.0, 0.0, 1.0, 0.0])
+        idx = systematic_resample_indices(w, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(np.asarray(idx), [2, 2, 2, 2])
+
+    def test_systematic_proportional(self):
+        w = jnp.asarray([0.5, 0.25, 0.125, 0.125])
+        counts = np.zeros(4)
+        for i in range(200):
+            idx = np.asarray(systematic_resample_indices(w, jax.random.PRNGKey(i)))
+            counts += np.bincount(idx, minlength=4)
+        freq = counts / counts.sum()
+        np.testing.assert_allclose(freq, np.asarray(w), atol=0.02)
+
+    def test_ess(self):
+        log_w = jnp.zeros(10)
+        assert np.isclose(float(ess_from_log_weights(log_w)), 10.0)
+        log_w = jnp.asarray([0.0] + [-1e9] * 9)
+        assert np.isclose(float(ess_from_log_weights(log_w)), 1.0)
+
+    def test_normalize_log_weights(self):
+        log_w = jnp.asarray([1.0, 2.0, 3.0])
+        n = normalize_log_weights(log_w)
+        assert np.isclose(float(jax.nn.logsumexp(n)), 0.0, atol=1e-6)
+
+
+class TestTwisting:
+    def test_perfect_match_has_max_score_at_true_placement(self):
+        rng = np.random.default_rng(0)
+        L, M = 20, 5
+        motif = rng.normal(size=(M, 3)).astype(np.float32) * 3
+        motif = motif - motif.mean(0, keepdims=True)
+        x0 = rng.normal(size=(2, L, 3)).astype(np.float32) * 10
+        true_start = 7
+        x0[0, true_start : true_start + M] = motif + 50.0  # translated copy
+        placements = enumerate_motif_placements(L, [M])
+        pos = jnp.asarray(placements_to_positions(placements))
+        log_prob, score = twisting_log_prob(
+            jnp.asarray(x0), pos, jnp.asarray(motif), 0.1
+        )
+        assert score.shape == (2, len(placements))
+        assert int(np.asarray(score)[0].argmax()) == true_start
+        # Particle 0 (contains the motif) must be much more likely.
+        assert float(log_prob[0]) > float(log_prob[1])
+
+    def test_xstart_variance(self):
+        v = xstart_variance(jnp.float32(0.5), tausq=0.012)
+        sigmasq = 1.0
+        assert np.isclose(float(v), sigmasq * 0.012 / (sigmasq + 0.012), rtol=1e-5)
+
+    def test_gradient_finite_difference(self):
+        """Autograd of the twisting potential matches finite differences
+        (the capability of check_gradient_accuracy,
+        smc_sampler_new_new.py:574-623)."""
+        rng = np.random.default_rng(1)
+        L, M = 12, 4
+        motif = rng.normal(size=(M, 3)).astype(np.float32)
+        motif = motif - motif.mean(0, keepdims=True)
+        x0 = jnp.asarray(rng.normal(size=(1, L, 3)).astype(np.float32))
+        pos = jnp.asarray(
+            placements_to_positions(enumerate_motif_placements(L, [M]))
+        )
+
+        def f(x):
+            lp, _ = twisting_log_prob(x, pos, jnp.asarray(motif), 0.5)
+            return lp.sum()
+
+        g = np.asarray(jax.grad(f)(x0))
+        eps = 1e-3
+        for idx in [(0, 0, 0), (0, 5, 1), (0, 11, 2)]:
+            xp = np.array(x0)
+            xp[idx] += eps
+            xm = np.array(x0)
+            xm[idx] -= eps
+            fd = (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) / (2 * eps)
+            assert np.isclose(g[idx], fd, rtol=1e-2, atol=1e-3), idx
+
+
+MOTIF_TARGET_PDB = """HEADER    test
+TITLE     tiny
+REMARK    name : 24
+ATOM      1  CA  ALA A   1       1.000   0.000   0.000
+ATOM      2  CA  ALA A   2       4.800   0.000   0.000
+ATOM      3  CA  ALA A   3       8.600   0.000   0.000
+TER
+ATOM      4  CA  ALA A  10       0.000   5.000   0.000
+ATOM      5  CA  ALA A  11       0.000   8.800   0.000
+TER
+"""
+
+
+class TestMotifTargetLoading:
+    def test_parse(self, tmp_path):
+        path = str(tmp_path / "0_test.pdb")
+        open(path, "w").write(MOTIF_TARGET_PDB)
+        segments, length = parse_motif_target_pdb(path)
+        assert length == 24
+        assert [len(s) for s in segments] == [3, 2]
+        # Jointly COM-centered.
+        allc = np.concatenate(segments)
+        np.testing.assert_allclose(allc.mean(0), 0.0, atol=1e-5)
+
+
+class TestSMCEndToEnd:
+    def test_sampler_runs_and_infers_placement(self, tmp_path):
+        motif_dir = tmp_path / "motifs"
+        motif_dir.mkdir()
+        open(str(motif_dir / "0_test.pdb"), "w").write(MOTIF_TARGET_PDB)
+
+        config = tiny_config(n_timestep=6)
+        model, params = make_model_and_params(config, length=24)
+        sampler = SMCSampler(model, params, config)
+        sampler.untwist_below = 2
+        out = sampler.sample(
+            {
+                "scale": 1.0,
+                "outdir": str(tmp_path / "out"),
+                "num_samples": 4,
+                "prefix": "24",
+                "offset": 0,
+                "motif_index": 0,
+                "motif_dir": str(motif_dir),
+            },
+            key=jax.random.PRNGKey(0),
+        )
+        assert len(out) == 4
+        for f in out:
+            assert int(f["num_residues"]) == 24
+            assert np.isfinite(f["atom_positions"]).all()
+        # Trace shapes: one entry per step.
+        assert sampler.trace.ess.shape == (6,)
+        assert np.all(sampler.trace.ess >= 1.0 - 1e-5)
+        assert np.all(sampler.trace.ess <= 4.0 + 1e-5)
+        # Placement file written with one line per segment.
+        loc_path = str(tmp_path / "out" / "motif_location.txt")
+        assert os.path.exists(loc_path)
+        lines = [l.split("\t") for l in open(loc_path).read().strip().split("\n")]
+        assert len(lines) == 2
+        (s1, e1), (s2, e2) = [(int(a), int(b)) for a, b in lines]
+        assert e1 - s1 == 2 and e2 - s2 == 1 and s2 > e1
