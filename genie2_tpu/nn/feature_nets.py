@@ -60,7 +60,7 @@ class SingleFeatureNet(nn.Module):
             ],
             axis=-1,
         )
-        s = Linear(self.c_s, use_bias=False)(inputs)
+        s = Linear(self.c_s, use_bias=False, name="linear")(inputs)
         return s * features["residue_mask"][..., None].astype(s.dtype)
 
 

@@ -107,9 +107,9 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, q_x, k_x, v_x, biases: Optional[Sequence[jnp.ndarray]] = None):
         h, c = self.no_heads, self.c_hidden
-        q = Linear(h * c, use_bias=False, init="glorot")(q_x)
-        k = Linear(h * c, use_bias=False, init="glorot")(k_x)
-        v = Linear(h * c, use_bias=False, init="glorot")(v_x)
+        q = Linear(h * c, use_bias=False, init="glorot", name="linear_q")(q_x)
+        k = Linear(h * c, use_bias=False, init="glorot", name="linear_k")(k_x)
+        v = Linear(h * c, use_bias=False, init="glorot", name="linear_v")(v_x)
 
         q = q.reshape(*q.shape[:-1], h, c)
         k = k.reshape(*k.shape[:-1], h, c)
@@ -125,7 +125,7 @@ class Attention(nn.Module):
         # [*, Q, H, C]
         o = jnp.einsum("...hqk,...khc->...qhc", a, v)
         if self.gating:
-            g = jax.nn.sigmoid(Linear(h * c, init="gating")(q_x))
+            g = jax.nn.sigmoid(Linear(h * c, init="gating", name="linear_g")(q_x))
             o = o * g.reshape(*g.shape[:-1], h, c)
         o = o.reshape(*o.shape[:-2], h * c)
-        return Linear(self.c_q, init="final")(o)
+        return Linear(self.c_q, init="final", name="linear_o")(o)
