@@ -1,0 +1,60 @@
+"""TDS/SMC motif scaffolding CLI (unknown placement).
+
+Counterpart of `/root/reference/genie/sample_unconditional_motif copy.py`
+(the TDS benchmark driver): one SMC run per --motif_index from a
+MotifBench-style --motif_dir (the hard-coded cluster path in
+sampler/utils.py:130-133 becomes this flag), 4 particles by default,
+outputs `{outdir}/pdbs/*.pdb` + `{outdir}/motif_location.txt`.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def run(args):
+    from genie2_tpu.sampling import SMCSampler
+    from genie2_tpu.utils.model_io import load_pretrained_model
+
+    model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    sampler = SMCSampler(model, params, config)
+    sampler.max_offsets = args.max_offsets
+    sampler.sample(
+        {
+            "scale": args.scale,
+            "outdir": args.outdir,
+            "num_samples": args.num_particles,
+            "prefix": str(args.motif_index),
+            "offset": args.offset,
+            "motif_index": args.motif_index,
+            "motif_dir": args.motif_dir,
+            "seed": args.seed,
+        }
+    )
+    import numpy as np
+
+    ess = sampler.trace.ess
+    print(
+        f"motif {args.motif_index}: placement={sampler.final_placement} "
+        f"ess(min/mean)={ess.min():.2f}/{ess.mean():.2f} "
+        f"resamples={int(sampler.trace.resampled.sum())}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", type=str, required=True, help="Model name")
+    parser.add_argument("--epoch", type=int, required=True, help="Model epoch")
+    parser.add_argument("--rootdir", type=str, default="results", help="Root directory")
+    parser.add_argument("--scale", type=float, default=1.0, help="Sampling noise scale")
+    parser.add_argument("--outdir", type=str, required=True, help="Output directory")
+    parser.add_argument("--motif_index", type=int, required=True,
+                        help="Index into the MotifBench problem directory")
+    parser.add_argument("--motif_dir", type=str, required=True,
+                        help="MotifBench-style motif_pdbs directory")
+    parser.add_argument("--num_particles", type=int, default=4)
+    parser.add_argument("--max_offsets", type=int, default=1000)
+    parser.add_argument("--offset", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0)
+    run(parser.parse_args())

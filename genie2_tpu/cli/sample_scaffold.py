@@ -1,0 +1,67 @@
+"""Motif scaffolding CLI (fixed placement).
+
+Counterpart of /root/reference/genie/sample_scaffold.py: one task per motif
+problem PDB in --datadir, outputs under `{outdir}/motif={name}/pdbs` and
+`motif_pdbs` (sample_scaffold.py:103-106). `--strength` is accepted for CLI
+parity; as in the reference it is unused downstream (:161).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def run_tasks(args):
+    from genie2_tpu.sampling import ScaffoldSampler
+    from genie2_tpu.utils.model_io import load_pretrained_model
+
+    model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    sampler = ScaffoldSampler(model, params, config)
+
+    paths = sorted(glob.glob(os.path.join(args.datadir, "*.pdb")))
+    if args.motif_name is not None:
+        paths = [p for p in paths if os.path.basename(p)[:-4] == args.motif_name]
+    if not paths:
+        raise FileNotFoundError(f"no motif problems under {args.datadir}")
+
+    for path in paths:
+        motif_name = os.path.basename(path)[:-4]
+        outdir = os.path.join(args.outdir, f"motif={motif_name}")
+        remaining = args.num_samples
+        offset = 0
+        while remaining > 0:
+            batch = min(args.batch_size, remaining)
+            sampler.sample(
+                {
+                    "scale": args.scale,
+                    "outdir": outdir,
+                    "num_samples": batch,
+                    "prefix": motif_name,
+                    "offset": offset,
+                    "filepath": path,
+                    "seed": args.seed,
+                }
+            )
+            offset += batch
+            remaining -= batch
+        print(f"motif {motif_name}: {args.num_samples} samples done", flush=True)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", type=str, required=True, help="Model name")
+    parser.add_argument("--epoch", type=int, required=True, help="Model epoch")
+    parser.add_argument("--rootdir", type=str, default="results", help="Root directory")
+    parser.add_argument("--scale", type=float, required=True, help="Sampling noise scale")
+    parser.add_argument("--outdir", type=str, required=True, help="Output directory")
+    parser.add_argument("--strength", type=float, default=0,
+                        help="Classifier-free strength (unused; CLI parity)")
+    parser.add_argument("--num_samples", type=int, default=100, help="Samples per problem")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--motif_name", type=str, default=None)
+    parser.add_argument("--datadir", type=str, default="data/design25")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_devices", type=int, default=-1)
+    run_tasks(parser.parse_args())

@@ -1,0 +1,69 @@
+"""Unconditional sampling CLI.
+
+Counterpart of /root/reference/genie/sample_unconditional.py (same flags,
+same output layout `{outdir}/pdbs/{length}_{offset+i}.pdb`). The reference
+fans tasks out one-OS-process-per-GPU (utils/multiprocessor.py); here a
+single process drives all devices — lengths are iterated max->min
+(shuffled unless --sequential_order, matching README.md:90) and each batch
+of samples is sharded across the mesh data axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import jax
+
+
+def run_tasks(args):
+    from genie2_tpu.sampling import UnconditionalSampler
+    from genie2_tpu.utils.model_io import load_pretrained_model
+
+    model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    sampler = UnconditionalSampler(model, params, config)
+
+    lengths = list(range(args.max_length, args.min_length - 1, -args.length_step))
+    if not args.sequential_order:
+        random.seed(0)
+        random.shuffle(lengths)
+
+    for length in lengths:
+        remaining = args.num_samples
+        offset = 0
+        while remaining > 0:
+            batch = min(args.batch_size, remaining)
+            sampler.sample(
+                {
+                    "scale": args.scale,
+                    "outdir": args.outdir,
+                    "num_samples": batch,
+                    "prefix": str(length),
+                    "offset": offset,
+                    "length": length,
+                    "seed": args.seed,
+                }
+            )
+            offset += batch
+            remaining -= batch
+        print(f"length {length}: {args.num_samples} samples done", flush=True)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--name", type=str, required=True, help="Model name")
+    parser.add_argument("--epoch", type=int, required=True, help="Model epoch")
+    parser.add_argument("--rootdir", type=str, default="results", help="Root directory")
+    parser.add_argument("--scale", type=float, required=True, help="Sampling noise scale")
+    parser.add_argument("--outdir", type=str, required=True, help="Output directory")
+    parser.add_argument("--num_samples", type=int, default=5, help="Samples per length")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--min_length", type=int, default=50)
+    parser.add_argument("--max_length", type=int, default=256)
+    parser.add_argument("--length_step", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_devices", type=int, default=-1,
+                        help="Mesh size (-1 = all; kept for CLI parity)")
+    parser.add_argument("--sequential_order", action="store_true",
+                        help="Run in decreasing order of length")
+    run_tasks(parser.parse_args())

@@ -1,0 +1,143 @@
+"""Model / checkpoint I/O.
+
+Behavioral counterpart of /root/reference/genie/utils/model_io.py:9-173,
+with the same two on-disk layouts:
+
+  * training layout:  {rootdir}/{name}/version_{v}/checkpoints/epoch={E}.ckpt
+  * release layout:   {rootdir}/{name}/checkpoints/epoch.{E}.ckpt
+
+Checkpoints written by this framework are orbax directories named with the
+same stem (epoch={E}.ckpt/); torch Lightning .ckpt FILES at either location
+are loaded transparently through the weight converter, so the reference's
+released checkpoints drop in unchanged. Configuration files use the
+reference's `key value` grammar and are re-read at inference
+(model_io.py:49-62).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from genie2_tpu.config import Config
+from genie2_tpu.nn import Denoiser
+
+
+def _epoch_of(path: str) -> Optional[int]:
+    m = re.search(r"epoch[=.](\d+)\.ckpt", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
+def get_versions(rootdir: str, name: str):
+    basedir = os.path.join(rootdir, name)
+    return sorted(
+        int(d.split("_")[-1])
+        for d in glob.glob(os.path.join(basedir, "version_*"))
+    )
+
+
+def get_epochs(rootdir: str, name: str, version: int):
+    pattern = os.path.join(
+        rootdir, name, f"version_{version}", "checkpoints", "*.ckpt*"
+    )
+    return sorted(
+        e for e in (_epoch_of(p) for p in glob.glob(pattern)) if e is not None
+    )
+
+
+def load_config(rootdir: str, name: str) -> Config:
+    return Config(os.path.join(rootdir, name, "configuration"))
+
+
+def init_params(model: Denoiser, config: Config, seed: int = 0):
+    """Fresh parameters for a Denoiser (the reference's untrained fallback,
+    model_io.py:64-77)."""
+    import jax.numpy as jnp
+
+    from genie2_tpu.features import batchify, create_empty_features, to_device
+    from genie2_tpu.geometry import Rigid, frenet_frames
+
+    length = min(32, config.io["max_n_res"])
+    feats = to_device(batchify([create_empty_features([length])]))
+    trans = jnp.zeros((1, length, 3), jnp.float32)
+    rots = frenet_frames(trans, feats["chain_index"], feats["residue_mask"])
+    return model.init(
+        jax.random.PRNGKey(seed), Rigid(rots, trans), jnp.array([1], jnp.int32), feats
+    )
+
+
+def save_params(path: str, variables: Dict[str, Any]):
+    """Save a variables pytree as an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), variables, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Load either an orbax checkpoint directory or a torch Lightning .ckpt
+    file (converted on the fly)."""
+    if os.path.isfile(path):
+        from genie2_tpu.utils.torch_convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), target
+        )
+        return ckptr.restore(os.path.abspath(path), abstract)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_model(
+    rootdir: str, name: str, version: Optional[int] = None, epoch: Optional[int] = None
+) -> Tuple[Denoiser, Dict[str, Any], Config]:
+    """Training-layout loader with latest-version/epoch discovery and an
+    untrained fallback (model_io.py:79-137)."""
+    config = load_config(rootdir, name)
+    model = Denoiser.from_config(config)
+
+    versions = get_versions(rootdir, name)
+    if version is None:
+        if not versions:
+            print("No checkpoint available (version); using untrained model")
+            return model, init_params(model, config), config
+        version = max(versions)
+    else:
+        assert version in versions, f"Missing checkpoint version: {version}"
+
+    epochs = get_epochs(rootdir, name, version)
+    if epoch is None:
+        if not epochs:
+            print("No checkpoint available (epoch); using untrained model")
+            return model, init_params(model, config), config
+        epoch = max(epochs)
+    else:
+        assert epoch in epochs, f"Missing checkpoint epoch: {epoch}"
+
+    ckpt_dir = os.path.join(rootdir, name, f"version_{version}", "checkpoints")
+    candidates = glob.glob(os.path.join(ckpt_dir, f"epoch={epoch}.ckpt*"))
+    print(f"Loading checkpoint: {candidates[0]}")
+    return model, load_params(candidates[0], init_params(model, config)), config
+
+
+def load_pretrained_model(
+    rootdir: str, name: str, epoch: int
+) -> Tuple[Denoiser, Dict[str, Any], Config]:
+    """Release-layout loader (model_io.py:139-173)."""
+    config = load_config(rootdir, name)
+    model = Denoiser.from_config(config)
+    base = os.path.join(rootdir, name, "checkpoints", f"epoch.{epoch}.ckpt")
+    if not os.path.exists(base):
+        raise FileNotFoundError(f"Missing checkpoint: {base}")
+    print(f"Loading checkpoint: {base}")
+    return model, load_params(base, init_params(model, config)), config

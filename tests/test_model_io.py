@@ -1,0 +1,155 @@
+"""Checkpoint I/O and end-to-end trainer tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from genie2_tpu.config import Config
+from genie2_tpu.nn import Denoiser
+from genie2_tpu.utils.model_io import (
+    get_epochs,
+    get_versions,
+    init_params,
+    load_model,
+    load_params,
+    save_params,
+)
+from tests.test_sampler import tiny_config
+
+
+class TestOrbaxRoundtrip:
+    def test_save_load(self, tmp_path):
+        config = tiny_config()
+        model = Denoiser.from_config(config)
+        params = init_params(model, config)
+        path = str(tmp_path / "epoch=3.ckpt")
+        save_params(path, jax.device_get(params))
+        restored = load_params(path, params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLayoutDiscovery:
+    def _write_config(self, basedir):
+        os.makedirs(basedir, exist_ok=True)
+        with open(os.path.join(basedir, "configuration"), "w") as f:
+            f.write("name test\n")
+            f.write("singleFeatureDimension 16\n")
+            f.write("pairFeatureDimension 8\n")
+            f.write("positionalEmbeddingDimension 8\n")
+            f.write("chainEmbeddingDimension 4\n")
+            f.write("timestepEmbeddingDimension 8\n")
+            f.write("templateDistanceNumBins 5\n")
+            f.write("numPairTransformLayers 1\n")
+            f.write("triangularMultiplicativeHiddenDimension 4\n")
+            f.write("numStructureLayers 1\n")
+            f.write("ipaHiddenDimension 4\n")
+            f.write("ipaNumHeads 2\n")
+            f.write("ipaNumQkPoints 2\n")
+            f.write("ipaNumVPoints 2\n")
+            f.write("numTimesteps 8\n")
+            f.write("maximumNumResidues 64\n")
+
+    def test_untrained_fallback(self, tmp_path):
+        self._write_config(str(tmp_path / "test"))
+        model, params, config = load_model(str(tmp_path), "test")
+        assert params is not None
+        assert config.model["c_s"] == 16
+
+    def test_training_layout_roundtrip(self, tmp_path):
+        basedir = str(tmp_path / "test")
+        self._write_config(basedir)
+        model, params, config = load_model(str(tmp_path), "test")
+        ckpt = os.path.join(basedir, "version_0", "checkpoints", "epoch=5.ckpt")
+        save_params(ckpt, jax.device_get(params))
+        assert get_versions(str(tmp_path), "test") == [0]
+        assert get_epochs(str(tmp_path), "test", 0) == [5]
+        model2, params2, _ = load_model(str(tmp_path), "test")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_torch_release_checkpoint_loads(self, tmp_path):
+        """A Lightning .ckpt in the release layout loads via the converter."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from genie.model.model import Denoiser as TorchDenoiser
+
+        from tests.test_parity_torch import DIMS
+
+        torch.manual_seed(0)
+        tm = TorchDenoiser(**DIMS)
+        basedir = str(tmp_path / "rel")
+        ckpt_dir = os.path.join(basedir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        torch.save(
+            {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}},
+            os.path.join(ckpt_dir, "epoch.30.ckpt"),
+        )
+        with open(os.path.join(basedir, "configuration"), "w") as f:
+            f.write(
+                "\n".join(
+                    [
+                        "name rel",
+                        f"singleFeatureDimension {DIMS['c_s']}",
+                        f"pairFeatureDimension {DIMS['c_p']}",
+                        f"numTimesteps {DIMS['n_timestep']}",
+                        f"positionalEmbeddingDimension {DIMS['c_pos_emb']}",
+                        f"chainEmbeddingDimension {DIMS['c_chain_emb']}",
+                        f"timestepEmbeddingDimension {DIMS['c_timestep_emb']}",
+                        f"maximumNumResidues {DIMS['max_n_res']}",
+                        f"relativePositionK {DIMS['relpos_k']}",
+                        f"templateDistanceNumBins {DIMS['template_dist_n_bin']}",
+                        f"numPairTransformLayers {DIMS['n_pair_transform_layer']}",
+                        "includeTriangularAttention True",
+                        f"triangularMultiplicativeHiddenDimension {DIMS['c_hidden_mul']}",
+                        f"triangularAttentionHiddenDimension {DIMS['c_hidden_tri_att']}",
+                        f"triangularAttentionNumHeads {DIMS['n_head_tri']}",
+                        f"pairTransitionN {DIMS['pair_transition_n']}",
+                        f"numStructureLayers {DIMS['n_structure_layer']}",
+                        f"ipaHiddenDimension {DIMS['c_hidden_ipa']}",
+                        f"ipaNumHeads {DIMS['n_head_ipa']}",
+                        f"ipaNumQkPoints {DIMS['n_qk_point']}",
+                        f"ipaNumVPoints {DIMS['n_v_point']}",
+                    ]
+                )
+            )
+        from genie2_tpu.utils.model_io import load_pretrained_model
+
+        model, params, config = load_pretrained_model(str(tmp_path), "rel", 30)
+        w = np.asarray(
+            params["params"]["single_feature_net"]["linear"]["Dense_0"]["kernel"]
+        )
+        np.testing.assert_allclose(
+            w, tm.state_dict()["single_feature_net.linear.weight"].numpy().T
+        )
+
+
+class TestTrainer:
+    def test_trainer_fit_and_checkpoint(self, tmp_path):
+        from genie2_tpu.train import synthetic_dataset
+        from genie2_tpu.train.loop import Trainer
+
+        config = tiny_config()
+        config.io["rootdir"] = str(tmp_path / "runs")
+        config.io["name"] = "t"
+        config.training["n_epoch"] = 2
+        config.training["batch_size"] = 4
+        config.training["checkpoint_every_n_epoch"] = 1
+        config.training["log_every_n_step"] = 1
+
+        ds = synthetic_dataset(8, max_n_res=24)
+        trainer = Trainer(config, use_mesh=False)
+        state = trainer.fit(ds)
+        assert int(state.step) == 4  # 2 epochs x 2 batches
+        assert os.path.exists(
+            os.path.join(trainer.ckpt_dir, "epoch=1.ckpt")
+        )
+        assert os.path.exists(os.path.join(trainer.workdir, "metrics.jsonl"))
