@@ -36,10 +36,13 @@ def main():
     from genie2_tpu.nn import Denoiser
     from genie2_tpu.sampling import ancestral_sample
 
+    from genie2_tpu.nn.policy import make_apply_fn
+
     length = int(os.environ.get("BENCH_LENGTH", "256"))
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    dtype = os.environ.get("BENCH_DTYPE", "fp32")
 
     config = Config(
         overrides={"maximumNumResidues": length, "numTimesteps": n_steps}
@@ -56,12 +59,16 @@ def main():
     t0 = jnp.full((batch,), n_steps, jnp.int32)
     params = model.init(jax.random.PRNGKey(1), Rigid(rots0, trans0), t0, feats)
 
+    apply_fn = make_apply_fn(model, dtype)
+
     def run(k):
         out = ancestral_sample(
-            model.apply, params, schedule, feats, k, jnp.float32(0.6), n_steps
+            apply_fn, params, schedule, feats, k, jnp.float32(0.6), n_steps
         )
-        out.block_until_ready()
-        return out
+        # NOTE: block_until_ready is a no-op on this environment's tunneled
+        # TPU backend; fetching a dependent scalar forces full execution
+        # while keeping the host transfer tiny.
+        return float(jnp.sum(out))
 
     # Warmup (includes compile).
     t_compile = time.perf_counter()
@@ -89,6 +96,7 @@ def main():
             "length": length,
             "n_steps": n_steps,
             "compile_and_first_run_s": round(compile_and_first_run_s, 1),
+            "compute_dtype": dtype,
             "device": str(jax.devices()[0]),
         },
     }

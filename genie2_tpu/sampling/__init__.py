@@ -1,6 +1,7 @@
 from genie2_tpu.sampling.base import BaseSampler, bucket_length
 from genie2_tpu.sampling.ddpm import (
     ancestral_sample,
+    ancestral_sample_injected,
     ancestral_sample_with_trajectory,
     reverse_step,
 )

@@ -36,7 +36,10 @@ class BaseSampler(ABC):
         params,
         config,
         bucket: int = 32,
+        compute_dtype: Optional[str] = None,
     ):
+        from genie2_tpu.nn.policy import make_apply_fn
+
         self.model = model
         self.params = params
         self.config = config
@@ -44,6 +47,8 @@ class BaseSampler(ABC):
             config.diffusion["n_timestep"], config.diffusion["schedule"]
         )
         self.bucket = bucket
+        self.compute_dtype = compute_dtype or config.tpu.get("compute_dtype", "fp32")
+        self.apply_fn = make_apply_fn(model, self.compute_dtype)
         self.required = ["scale", "outdir", "num_samples", "prefix", "offset"]
         self.setup()
 
@@ -86,9 +91,6 @@ class BaseSampler(ABC):
         self.on_sample_end(params, list_np_features)
         return list_np_features
 
-    def _apply_fn(self, p, ts, t_vec, feats):
-        return self.model.apply(p, ts, t_vec, feats)
-
     def _sample(self, params: Dict[str, Any], key: Optional[jax.Array] = None):
         if key is None:
             key = jax.random.PRNGKey(int(params.get("seed", 0)) + int(params["offset"]))
@@ -114,7 +116,7 @@ class BaseSampler(ABC):
 
         features = to_device(batch)
         trans = ancestral_sample(
-            self.model.apply,
+            self.apply_fn,
             self.params,
             self.schedule,
             features,

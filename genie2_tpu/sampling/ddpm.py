@@ -83,6 +83,34 @@ def ancestral_sample(
     return trans
 
 
+@partial(jax.jit, static_argnames=("apply_fn",))
+def ancestral_sample_injected(
+    apply_fn: Callable,
+    params,
+    schedule: Schedule,
+    features: Dict[str, Any],
+    init_trans: jnp.ndarray,
+    noises: jnp.ndarray,
+    scale: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reverse trajectory with externally supplied x_T and per-step noise
+    [T, B, N, 3] (noises[0] is used at step T). This is the fixed-noise
+    parity harness: inject the same noise into the torch reference and the
+    trajectories must match step for step."""
+    n_timestep = noises.shape[0]
+
+    def body(trans, inputs):
+        t, noise = inputs
+        next_trans = reverse_step(
+            apply_fn, params, schedule, features, trans, t, noise, scale
+        )
+        return next_trans, next_trans
+
+    steps = jnp.arange(n_timestep, 0, -1)
+    trans, trajectory = jax.lax.scan(body, init_trans, (steps, noises))
+    return trans, trajectory
+
+
 @partial(jax.jit, static_argnames=("apply_fn", "n_timestep", "record_every"))
 def ancestral_sample_with_trajectory(
     apply_fn: Callable,

@@ -242,7 +242,7 @@ class SMCSampler(BaseSampler):
         features = to_device(batchify([dict(f) for f in host_features]))
 
         trans, final_score, trace = tds_sample(
-            self.model.apply,
+            self.apply_fn,
             self.params,
             self.schedule,
             features,
