@@ -1,23 +1,29 @@
-"""The ancestral DDPM reverse loop as a single jitted lax.scan.
+"""The ancestral DDPM reverse loop as jitted lax.scan segments.
 
 Behavioral counterpart of BaseSampler._sample
 (/root/reference/genie/sampler/base.py:169-289): the reference runs 1000
 sequential Python iterations, each a separate CUDA launch train; here the
-entire reverse trajectory is one compiled program (model apply + posterior +
-scaled noise + Frenet frame recompute per step), so there is no host
-round-trip between steps.
+trajectory runs as a small number of compiled scan segments (default 100
+steps per dispatch) with the carry resident on device — the host loop exists
+only to bound single-dispatch runtime (long-running executions can trip
+runtime watchdogs); it adds one dispatch per segment and no transfers.
+RNG is a per-step key split inside the scan body, so results are
+bit-identical for any segmentation.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from genie2_tpu.diffusion import Schedule, posterior_mean_from_eps
 from genie2_tpu.geometry import Rigid, frenet_frames
+
+DEFAULT_STEPS_PER_DISPATCH = 100
 
 
 def reverse_step(
@@ -48,7 +54,45 @@ def reverse_step(
     return next_trans
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "n_timestep"))
+@partial(jax.jit, static_argnames=("apply_fn", "record"))
+def _scan_segment(
+    apply_fn: Callable,
+    params,
+    schedule: Schedule,
+    features: Dict[str, Any],
+    carry: Tuple[jnp.ndarray, jax.Array],
+    steps: jnp.ndarray,
+    scale: jnp.ndarray,
+    record: bool = False,
+):
+    shape = carry[0].shape
+
+    def body(c, t):
+        trans, key = c
+        key, noise_key = jax.random.split(key)
+        noise = jax.random.normal(noise_key, shape, dtype=jnp.float32)
+        next_trans = reverse_step(
+            apply_fn, params, schedule, features, trans, t, noise, scale
+        )
+        return (next_trans, key), (next_trans if record else None)
+
+    return jax.lax.scan(body, carry, steps)
+
+
+def _segments(n_timestep: int, steps_per_dispatch: Optional[int]):
+    steps = np.arange(n_timestep, 0, -1)
+    k = steps_per_dispatch or n_timestep
+    if k >= n_timestep:
+        return [steps]
+    return [steps[i : i + k] for i in range(0, n_timestep, k)]
+
+
+def init_translations(features: Dict[str, Any], key: jax.Array) -> jnp.ndarray:
+    mask = features["residue_mask"].astype(jnp.float32)[..., None]
+    shape = (*features["residue_mask"].shape, 3)
+    return jax.random.normal(key, shape, dtype=jnp.float32) * mask
+
+
 def ancestral_sample(
     apply_fn: Callable,
     params,
@@ -57,30 +101,49 @@ def ancestral_sample(
     key: jax.Array,
     scale: jnp.ndarray,
     n_timestep: int,
+    steps_per_dispatch: Optional[int] = DEFAULT_STEPS_PER_DISPATCH,
 ) -> jnp.ndarray:
-    """Run the full reverse trajectory from x_T ~ N(0, I).
-
-    Returns final translations [B, N, 3]. `scale` is the noise-scale knob
-    gamma (base.py:271); it may be a traced scalar so sweeping it does not
-    retrigger compilation.
-    """
+    """Run the full reverse trajectory from x_T ~ N(0, I); returns final
+    translations [B, N, 3]. `scale` is the noise-scale knob gamma
+    (base.py:271) and may be a traced scalar."""
     key, init_key = jax.random.split(key)
-    mask = features["residue_mask"].astype(jnp.float32)[..., None]
-    shape = (*features["residue_mask"].shape, 3)
-    trans = jax.random.normal(init_key, shape, dtype=jnp.float32) * mask
-
-    def body(carry, t):
-        trans, key = carry
-        key, noise_key = jax.random.split(key)
-        noise = jax.random.normal(noise_key, shape, dtype=jnp.float32)
-        next_trans = reverse_step(
-            apply_fn, params, schedule, features, trans, t, noise, scale
+    carry = (init_translations(features, init_key), key)
+    for seg in _segments(n_timestep, steps_per_dispatch):
+        carry, _ = _scan_segment(
+            apply_fn, params, schedule, features, carry, jnp.asarray(seg), scale
         )
-        return (next_trans, key), None
+    return carry[0]
 
-    steps = jnp.arange(n_timestep, 0, -1)
-    (trans, _), _ = jax.lax.scan(body, (trans, key), steps)
-    return trans
+
+def ancestral_sample_with_trajectory(
+    apply_fn: Callable,
+    params,
+    schedule: Schedule,
+    features: Dict[str, Any],
+    key: jax.Array,
+    scale: jnp.ndarray,
+    n_timestep: int,
+    record_every: int = 50,
+    steps_per_dispatch: Optional[int] = DEFAULT_STEPS_PER_DISPATCH,
+):
+    """Like ancestral_sample but also returns x_t snapshots every
+    `record_every` steps (the reference's trajectory-dump capability,
+    smc_sampler_new_new.py:802-812, recovered from scan outputs instead of
+    per-step host writes). Returns (final, snapshots [K, B, N, 3], steps)."""
+    key, init_key = jax.random.split(key)
+    carry = (init_translations(features, init_key), key)
+    snaps, snap_steps = [], []
+    for seg in _segments(n_timestep, steps_per_dispatch):
+        carry, traj = _scan_segment(
+            apply_fn, params, schedule, features, carry, jnp.asarray(seg), scale,
+            record=True,
+        )
+        keep = seg % record_every == 0
+        if keep.any():
+            snaps.append(np.asarray(traj[keep]))
+            snap_steps.extend(seg[keep].tolist())
+    snapshots = np.concatenate(snaps, axis=0) if snaps else np.zeros((0,))
+    return carry[0], snapshots, snap_steps
 
 
 @partial(jax.jit, static_argnames=("apply_fn",))
@@ -109,39 +172,3 @@ def ancestral_sample_injected(
     steps = jnp.arange(n_timestep, 0, -1)
     trans, trajectory = jax.lax.scan(body, init_trans, (steps, noises))
     return trans, trajectory
-
-
-@partial(jax.jit, static_argnames=("apply_fn", "n_timestep", "record_every"))
-def ancestral_sample_with_trajectory(
-    apply_fn: Callable,
-    params,
-    schedule: Schedule,
-    features: Dict[str, Any],
-    key: jax.Array,
-    scale: jnp.ndarray,
-    n_timestep: int,
-    record_every: int = 50,
-):
-    """Like ancestral_sample but also stacks x_t snapshots every
-    `record_every` steps (the reference's debug-dump capability,
-    smc_sampler_new_new.py:802-812, recovered post-hoc from scan outputs
-    instead of per-step host writes)."""
-    key, init_key = jax.random.split(key)
-    mask = features["residue_mask"].astype(jnp.float32)[..., None]
-    shape = (*features["residue_mask"].shape, 3)
-    trans = jax.random.normal(init_key, shape, dtype=jnp.float32) * mask
-
-    def body(carry, t):
-        trans, key = carry
-        key, noise_key = jax.random.split(key)
-        noise = jax.random.normal(noise_key, shape, dtype=jnp.float32)
-        next_trans = reverse_step(
-            apply_fn, params, schedule, features, trans, t, noise, scale
-        )
-        keep = (t % record_every) == 0
-        snapshot = jnp.where(keep, next_trans, jnp.zeros_like(next_trans))
-        return (next_trans, key), (snapshot, keep)
-
-    steps = jnp.arange(n_timestep, 0, -1)
-    (trans, _), (snaps, keeps) = jax.lax.scan(body, (trans, key), steps)
-    return trans, snaps, keeps

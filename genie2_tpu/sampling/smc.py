@@ -72,42 +72,29 @@ class TDSTrace(NamedTuple):
     jax.jit,
     static_argnames=(
         "apply_fn",
-        "n_timestep",
         "untwist_below",
         "ess_frac",
     ),
 )
-def tds_sample(
+def _tds_segment(
     apply_fn: Callable,
     params,
     schedule: Schedule,
     features: Dict[str, Any],
     positions: jnp.ndarray,
     motif_target: jnp.ndarray,
-    key: jax.Array,
+    carry,
+    steps: jnp.ndarray,
     scale: jnp.ndarray,
-    n_timestep: int,
     untwist_below: int = 50,
     grad_alpha: float = 0.012,
     tausq: float = 0.012,
     ess_frac: float = 0.5,
 ):
-    """Run the full twisted SMC reverse trajectory.
-
-    Returns (final translations [P, L, 3], final per-placement scores
-    [P, O], TDSTrace).
-    """
+    """One jitted scan segment of the twisted SMC reverse trajectory.
+    carry = (trans, log_proposal, log_w_acc, key)."""
     n_particles = features["residue_mask"].shape[0]
     shape = (*features["residue_mask"].shape, 3)
-
-    key, init_key = jax.random.split(key)
-    trans = jax.random.normal(init_key, shape, dtype=jnp.float32)
-    # Proposal density of x_T under N(0, I) (unconditional_smc.py:419-432).
-    log_proposal = jnp.sum(
-        -0.5 * (math.log(2 * math.pi) + trans**2), axis=(1, 2)
-    )
-    log_w_acc = jnp.zeros((n_particles,), jnp.float32)
-
     mask = features["residue_mask"].astype(jnp.float32)[..., None]
 
     def potential(x, t_vec, var):
@@ -191,12 +178,69 @@ def tds_sample(
         )
         return (next_trans, log_proposal_next, log_w_acc_next, key), (trace, score)
 
-    steps = jnp.arange(n_timestep, 0, -1)
-    (trans, _, _, _), ((ess, resampled, dist, best), scores) = jax.lax.scan(
-        body, (trans, log_proposal, log_w_acc, key), steps
-    )
-    final_score = scores[-1]
-    return trans, final_score, TDSTrace(ess, resampled, dist, best)
+    carry, ((ess, resampled, dist, best), scores) = jax.lax.scan(body, carry, steps)
+    return carry, TDSTrace(ess, resampled, dist, best), scores[-1]
+
+
+def tds_sample(
+    apply_fn: Callable,
+    params,
+    schedule: Schedule,
+    features: Dict[str, Any],
+    positions: jnp.ndarray,
+    motif_target: jnp.ndarray,
+    key: jax.Array,
+    scale: jnp.ndarray,
+    n_timestep: int,
+    untwist_below: int = 50,
+    grad_alpha: float = 0.012,
+    tausq: float = 0.012,
+    ess_frac: float = 0.5,
+    steps_per_dispatch: Optional[int] = 100,
+):
+    """Run the full twisted SMC reverse trajectory, segmented into bounded
+    dispatches (the step includes a full backward pass; long single
+    dispatches can trip runtime watchdogs).
+
+    Returns (final translations [P, L, 3], final per-placement scores
+    [P, O], TDSTrace over all steps).
+    """
+    import numpy as np
+
+    n_particles = features["residue_mask"].shape[0]
+    shape = (*features["residue_mask"].shape, 3)
+
+    key, init_key = jax.random.split(key)
+    trans = jax.random.normal(init_key, shape, dtype=jnp.float32)
+    # Proposal density of x_T under N(0, I) (unconditional_smc.py:419-432).
+    log_proposal = jnp.sum(-0.5 * (math.log(2 * math.pi) + trans**2), axis=(1, 2))
+    log_w_acc = jnp.zeros((n_particles,), jnp.float32)
+    carry = (trans, log_proposal, log_w_acc, key)
+
+    all_steps = np.arange(n_timestep, 0, -1)
+    k = steps_per_dispatch or n_timestep
+    traces = []
+    final_score = None
+    for i in range(0, n_timestep, k):
+        seg = jnp.asarray(all_steps[i : i + k])
+        carry, trace, final_score = _tds_segment(
+            apply_fn,
+            params,
+            schedule,
+            features,
+            positions,
+            motif_target,
+            carry,
+            seg,
+            scale,
+            untwist_below=untwist_below,
+            grad_alpha=grad_alpha,
+            tausq=tausq,
+            ess_frac=ess_frac,
+        )
+        traces.append(trace)
+    trace = TDSTrace(*(jnp.concatenate(parts) for parts in zip(*traces)))
+    return carry[0], final_score, trace
 
 
 class SMCSampler(BaseSampler):
