@@ -25,6 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# NOTE: the persistent compilation cache hangs under this environment's
+# remote-compile TPU tunnel; enable only where known-good.
+if os.environ.get("JAX_CACHE", "0") == "1":
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 A100_REFERENCE_SAMPLES_PER_MIN = 3.2  # estimate; see module docstring
 
 
@@ -53,11 +60,15 @@ def main():
     feats = to_device(
         batchify([create_empty_features([length]) for _ in range(batch)])
     )
-    key = jax.random.PRNGKey(0)
-    trans0 = jax.random.normal(key, (batch, length, 3), dtype=jnp.float32)
-    rots0 = frenet_frames(trans0, feats["chain_index"], feats["residue_mask"])
-    t0 = jnp.full((batch,), n_steps, jnp.int32)
-    params = model.init(jax.random.PRNGKey(1), Rigid(rots0, trans0), t0, feats)
+
+    @jax.jit
+    def init_params(key):
+        trans0 = jnp.zeros((batch, length, 3), jnp.float32)
+        rots0 = frenet_frames(trans0, feats["chain_index"], feats["residue_mask"])
+        t0 = jnp.full((batch,), n_steps, jnp.int32)
+        return model.init(key, Rigid(rots0, trans0), t0, feats)
+
+    params = init_params(jax.random.PRNGKey(1))
 
     apply_fn = make_apply_fn(model, dtype)
 

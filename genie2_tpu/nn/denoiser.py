@@ -75,6 +75,11 @@ class Denoiser(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         trans_in = ts.trans
+        # The caller's translation dtype selects the compute precision (the
+        # bf16 policy passes bf16 frames); encodings are built in fp32 for
+        # accuracy and the activations are cast here so a bf16 run stays
+        # bf16 through the O(N^2)/O(N^3) stacks.
+        compute_dtype = ts.trans.dtype
         ts = ts.scale_translation(self.rescale)
 
         s = SingleFeatureNet(
@@ -86,7 +91,7 @@ class Denoiser(nn.Module):
             max_n_res=self.max_n_res,
             max_n_chain=self.max_n_chain,
             name="single_feature_net",
-        )(ts, timesteps, features)
+        )(ts, timesteps, features).astype(compute_dtype)
 
         p = PairFeatureNet(
             c_s=self.c_s,
@@ -97,7 +102,7 @@ class Denoiser(nn.Module):
             template_dist_step=self.template_dist_step,
             template_dist_n_bin=self.template_dist_n_bin,
             name="pair_feature_net",
-        )(s, ts, timesteps, features)
+        )(s, ts, timesteps, features).astype(compute_dtype)
 
         if self.n_pair_transform_layer > 0:
             p = PairTransformNet(

@@ -64,11 +64,16 @@ def init_params(model: Denoiser, config: Config, seed: int = 0):
 
     length = min(32, config.io["max_n_res"])
     feats = to_device(batchify([create_empty_features([length])]))
-    trans = jnp.zeros((1, length, 3), jnp.float32)
-    rots = frenet_frames(trans, feats["chain_index"], feats["residue_mask"])
-    return model.init(
-        jax.random.PRNGKey(seed), Rigid(rots, trans), jnp.array([1], jnp.int32), feats
-    )
+
+    # One compiled program instead of thousands of eager dispatches (eager
+    # round-trips are very slow on remote-compile backends).
+    @jax.jit
+    def _init(key):
+        trans = jnp.zeros((1, length, 3), jnp.float32)
+        rots = frenet_frames(trans, feats["chain_index"], feats["residue_mask"])
+        return model.init(key, Rigid(rots, trans), jnp.array([1], jnp.int32), feats)
+
+    return _init(jax.random.PRNGKey(seed))
 
 
 def save_params(path: str, variables: Dict[str, Any]):

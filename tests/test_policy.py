@@ -30,6 +30,11 @@ def test_bf16_apply_close_to_fp32():
     out32 = make_apply_fn(model, "fp32")(params, ts, t, feats)
     out16 = make_apply_fn(model, "bf16")(params, ts, t, feats)
     assert out16["z"].dtype == jnp.float32
+    # The policy must not silently promote back to fp32 mid-network: the
+    # O(N^2) pair activations are the bandwidth hot spot.
+    assert out16["p"].dtype == jnp.bfloat16
+    assert out16["s"].dtype == jnp.bfloat16
+    assert out32["p"].dtype == jnp.float32
     z32, z16 = np.asarray(out32["z"]), np.asarray(out16["z"])
     assert np.isfinite(z16).all()
     # bf16 has ~3 decimal digits; the prediction should track loosely.

@@ -25,10 +25,16 @@ from genie2_tpu.geometry import Rigid, frenet_frames
 from genie2_tpu.nn import Denoiser
 from genie2_tpu.nn.policy import make_apply_fn
 
+if os.environ.get("JAX_CACHE", "0") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 DTYPE = os.environ.get("BENCH_DTYPE", "fp32")
+# Comma-separated probe selection: full,frames,pfn,ptn,sn,tri,tri2 (default all)
+PROBES = set(os.environ.get("PROBES", "full,frames,pfn,ptn,sn,tri,tri2").split(","))
 
 
 def timed_scan(name, step_fn, init):
@@ -61,11 +67,16 @@ def main():
     config = Config(overrides={"maximumNumResidues": L})
     model = Denoiser.from_config(config)
     feats = to_device(batchify([create_empty_features([L]) for _ in range(B)]))
-    key = jax.random.PRNGKey(0)
-    trans = jax.random.normal(key, (B, L, 3), jnp.float32)
-    rots = frenet_frames(trans, feats["chain_index"], feats["residue_mask"])
     t_vec = jnp.full((B,), 500, jnp.int32)
-    params = model.init(jax.random.PRNGKey(1), Rigid(rots, trans), t_vec, feats)
+
+    @jax.jit
+    def setup(key):
+        trans = jax.random.normal(key, (B, L, 3), jnp.float32)
+        rots = frenet_frames(trans, feats["chain_index"], feats["residue_mask"])
+        params = model.init(jax.random.PRNGKey(1), Rigid(rots, trans), t_vec, feats)
+        return trans, rots, params
+
+    trans, rots, params = setup(jax.random.PRNGKey(0))
     apply_fn = make_apply_fn(model, DTYPE)
 
     print(f"L={L} B={B} iters={ITERS} dtype={DTYPE} device={jax.devices()[0]}")
@@ -76,14 +87,16 @@ def main():
         z = apply_fn(params, Rigid(r, x), t_vec, feats)["z"]
         return x - 0.001 * z
 
-    timed_scan("full denoiser fwd + frames", full_step, trans)
+    if "full" in PROBES:
+        timed_scan("full denoiser fwd + frames", full_step, trans)
 
     # Frenet frames alone.
     def frames_step(x):
         r = frenet_frames(x, feats["chain_index"], feats["residue_mask"])
         return x + 1e-6 * r[..., 0]
 
-    timed_scan("frenet frames", frames_step, trans)
+    if "frames" in PROBES:
+        timed_scan("frenet frames", frames_step, trans)
 
     # Submodule timings via closures over params sub-trees.
     p0 = params["params"]
@@ -105,7 +118,9 @@ def main():
         max_n_chain=config.io["max_n_chain"],
     )
     sfn_params = {"params": p0["single_feature_net"]}
-    s_act = sfn.apply(sfn_params, Rigid(rots, trans), t_vec, feats).astype(cast)
+    s_act = jax.jit(
+        lambda: sfn.apply(sfn_params, Rigid(rots, trans), t_vec, feats).astype(cast)
+    )()
 
     pfn = PairFeatureNet(
         c_s=c_s,
@@ -122,9 +137,10 @@ def main():
 
     def pfn_step(s):
         p = pfn.apply(pfn_params, s, Rigid(rots.astype(cast), trans.astype(cast)), t_vec, feats)
-        return s + 1e-6 * p.mean(axis=2)
+        return s + 1e-6 * p.mean(axis=(2, 3))[..., None]
 
-    timed_scan("pair feature net", pfn_step, s_act)
+    if "pfn" in PROBES:
+        timed_scan("pair feature net", pfn_step, s_act)
 
     ptn = PairTransformNet(
         c_p=c_p,
@@ -145,7 +161,8 @@ def main():
     def ptn_step(p):
         return ptn.apply(ptn_params, p, feats) * 0.5
 
-    timed_scan("pair transform stack (5 layers)", ptn_step, p_act)
+    if "ptn" in PROBES:
+        timed_scan("pair transform stack (5 layers)", ptn_step, p_act)
 
     sn = StructureNet(
         c_s=c_s,
@@ -170,7 +187,8 @@ def main():
         )
         return s + 1e-6 * states[-1]
 
-    timed_scan("structure net (8 IPA layers)", sn_step, s_act)
+    if "sn" in PROBES:
+        timed_scan("structure net (8 IPA layers)", sn_step, s_act)
 
     # Raw triangle einsum, both layouts.
     a = jnp.ones((B, L, L, 128), cast)
@@ -179,7 +197,8 @@ def main():
         x = jnp.einsum("...ikc,...jkc->...ijc", a, a)
         return a + 1e-9 * x
 
-    timed_scan("raw tri einsum [B,N,N,C]", tri_step, a)
+    if "tri" in PROBES:
+        timed_scan("raw tri einsum [B,N,N,C]", tri_step, a)
 
     a2 = jnp.ones((B, 128, L, L), cast)
 
@@ -187,7 +206,8 @@ def main():
         x = jnp.einsum("...cik,...cjk->...cij", a, a)
         return a + 1e-9 * x
 
-    timed_scan("raw tri einsum [B,C,N,N]", tri_step2, a2)
+    if "tri2" in PROBES:
+        timed_scan("raw tri einsum [B,C,N,N]", tri_step2, a2)
 
 
 if __name__ == "__main__":
