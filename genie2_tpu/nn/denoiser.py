@@ -73,6 +73,7 @@ class Denoiser(nn.Module):
     def __call__(
         self, ts: Rigid, timesteps: jnp.ndarray, features: Dict[str, Any],
         deterministic: bool = True,
+        static_pair_bias: jnp.ndarray = None,
     ) -> Dict[str, Any]:
         trans_in = ts.trans
         # The caller's translation dtype selects the compute precision (the
@@ -102,7 +103,9 @@ class Denoiser(nn.Module):
             template_dist_step=self.template_dist_step,
             template_dist_n_bin=self.template_dist_n_bin,
             name="pair_feature_net",
-        )(s, ts, timesteps, features).astype(compute_dtype)
+        )(s, ts, timesteps, features, static_bias=static_pair_bias).astype(
+            compute_dtype
+        )
 
         if self.n_pair_transform_layer > 0:
             p = PairTransformNet(

@@ -66,7 +66,12 @@ class SingleFeatureNet(nn.Module):
 
 class PairFeatureNet(nn.Module):
     """Outer sum + relative position encoding + noised-structure template +
-    motif template (pair_feature_net.py:72-301)."""
+    motif template (pair_feature_net.py:72-301).
+
+    The relpos encoding and the motif template depend only on static
+    features, not on the noised structure or the timestep; `static_bias`
+    computes their sum once so samplers can hoist it out of the reverse
+    loop (the reference recomputes both on all 1000 steps)."""
 
     c_s: int
     c_p: int
@@ -75,6 +80,13 @@ class PairFeatureNet(nn.Module):
     template_dist_min: float
     template_dist_step: float
     template_dist_n_bin: int
+
+    def setup(self):
+        self.linear_s_p_i = Linear(self.c_p, use_bias=False)
+        self.linear_s_p_j = Linear(self.c_p, use_bias=False)
+        self.linear_relpos = Linear(self.c_p, use_bias=False)
+        self.linear_template = Linear(self.c_p, use_bias=False)
+        self.linear_motif_template = Linear(self.c_p, use_bias=False)
 
     def _relpos(self, features, dtype):
         """AF2 Algorithm 4/5 with an extra cross-chain bin
@@ -89,11 +101,11 @@ class PairFeatureNet(nn.Module):
         d = jnp.where(same_chain, d_same, 2 * k + 1)
         oh = jax.nn.one_hot(d, n_bin, dtype=dtype)
         feats = jnp.concatenate([oh, same_chain[..., None].astype(dtype)], axis=-1)
-        return Linear(self.c_p, use_bias=False, name="linear_relpos")(feats)
+        return self.linear_relpos(feats)
 
     def _encode_positions(self, coords, mask):
         """Soft distance bins: softmax(-4 |d - v|), masked pairwise
-        (pair_feature_net.py:223-269)."""
+        (pair_feature_py:223-269)."""
         d = distogram(coords, coords)  # [B, N, N]
         v = self.template_dist_min + self.template_dist_step * jnp.arange(
             self.template_dist_n_bin, dtype=d.dtype
@@ -112,18 +124,34 @@ class PairFeatureNet(nn.Module):
         pair_mask = mask[:, :, None] * mask[:, None, :]
         return q * pair_mask[..., None].astype(q.dtype)
 
-    @nn.compact
-    def __call__(self, s, ts: Rigid, timesteps, features):
+    def static_bias(self, features, dtype=jnp.float32):
+        """relpos + motif-template contribution: constant across diffusion
+        steps for a fixed batch."""
+        fixed_structure = features["fixed_structure_mask"].astype(dtype)
+        fixed_seq = features["fixed_sequence_mask"].astype(dtype)
+        bias = self._relpos(features, dtype)
+        motif_template = jnp.concatenate(
+            [
+                self._encode_positions(
+                    features["atom_positions"].astype(dtype), fixed_seq
+                )
+                * fixed_structure[..., None],
+                fixed_structure[..., None],
+                fixed_structure[..., None],
+            ],
+            axis=-1,
+        )
+        return bias + self.linear_motif_template(motif_template)
+
+    def __call__(self, s, ts: Rigid, timesteps, features, static_bias=None):
         dtype = s.dtype
         residue_mask = features["residue_mask"].astype(dtype)
         pair_mask = residue_mask[:, :, None] * residue_mask[:, None, :]
         fixed_structure = features["fixed_structure_mask"].astype(dtype)
 
-        p_i = Linear(self.c_p, use_bias=False, name="linear_s_p_i")(s)
-        p_j = Linear(self.c_p, use_bias=False, name="linear_s_p_j")(s)
+        p_i = self.linear_s_p_i(s)
+        p_j = self.linear_s_p_j(s)
         p = p_i[:, :, None, :] + p_j[:, None, :, :]
-
-        p += self._relpos(features, dtype)
 
         # Template of the noised structure: soft distogram + pairwise
         # orientation quaternions + doubled structure mask channel.
@@ -136,20 +164,10 @@ class PairFeatureNet(nn.Module):
             ],
             axis=-1,
         )
-        p += Linear(self.c_p, use_bias=False, name="linear_template")(template)
+        p += self.linear_template(template)
 
-        # Motif template: distogram of the fixed motif coordinates, gated by
-        # the fixed structure mask.
-        fixed_seq = features["fixed_sequence_mask"].astype(dtype)
-        motif_template = jnp.concatenate(
-            [
-                self._encode_positions(features["atom_positions"], fixed_seq)
-                * fixed_structure[..., None],
-                fixed_structure[..., None],
-                fixed_structure[..., None],
-            ],
-            axis=-1,
-        )
-        p += Linear(self.c_p, use_bias=False, name="linear_motif_template")(motif_template)
+        if static_bias is None:
+            static_bias = self.static_bias(features, dtype)
+        p += static_bias.astype(dtype)
 
         return p * pair_mask[..., None]

@@ -31,20 +31,37 @@ def cast_floating(tree, dtype):
 
 def make_apply_fn(model, compute_dtype: str = "fp32") -> Callable:
     """Wrap model.apply with the chosen precision policy. Signature matches
-    model.apply(params, ts, t, feats, ...)."""
+    model.apply(params, ts, t, feats, ...).
+
+    If `feats` carries a "static_pair_bias" entry (the relpos+motif-template
+    contribution hoisted out of the reverse loop by the samplers), it is
+    routed to the denoiser's static_pair_bias argument."""
     if compute_dtype in ("fp32", "float32"):
-        return model.apply
+
+        def apply_fp32(params, ts: Rigid, timesteps, features, **kwargs):
+            features = dict(features)
+            bias = features.pop("static_pair_bias", None)
+            return model.apply(
+                params, ts, timesteps, features, static_pair_bias=bias, **kwargs
+            )
+
+        return apply_fp32
     if compute_dtype not in ("bf16", "bfloat16"):
         raise ValueError(f"unknown compute_dtype: {compute_dtype}")
 
     def apply_bf16(params, ts: Rigid, timesteps, features, **kwargs):
         bf16 = jnp.bfloat16
+        features = {
+            k: (v.astype(bf16) if jnp.issubdtype(v.dtype, jnp.floating) else v)
+            for k, v in features.items()
+        }
+        bias = features.pop("static_pair_bias", None)
         out = model.apply(
             cast_floating(params, bf16),
             Rigid(ts.rots.astype(bf16), ts.trans.astype(bf16)),
             timesteps,
-            {k: (v.astype(bf16) if jnp.issubdtype(v.dtype, jnp.floating) else v)
-             for k, v in features.items()},
+            features,
+            static_pair_bias=bias,
             **kwargs,
         )
         out = dict(out)

@@ -49,8 +49,36 @@ class BaseSampler(ABC):
         self.bucket = bucket
         self.compute_dtype = compute_dtype or config.tpu.get("compute_dtype", "fp32")
         self.apply_fn = make_apply_fn(model, self.compute_dtype)
+        self._static_bias_fn = self._build_static_bias_fn()
         self.required = ["scale", "outdir", "num_samples", "prefix", "offset"]
         self.setup()
+
+    def _build_static_bias_fn(self):
+        """Jitted computation of the step-invariant pair-feature bias
+        (relpos + motif template), hoisted out of the reverse loop."""
+        from genie2_tpu.nn.feature_nets import PairFeatureNet
+
+        m = self.model
+        pfn = PairFeatureNet(
+            c_s=m.c_s,
+            c_p=m.c_p,
+            n_timestep=m.n_timestep,
+            relpos_k=m.relpos_k,
+            template_dist_min=m.template_dist_min,
+            template_dist_step=m.template_dist_step,
+            template_dist_n_bin=m.template_dist_n_bin,
+        )
+        out_dtype = (
+            jnp.bfloat16 if self.compute_dtype in ("bf16", "bfloat16") else jnp.float32
+        )
+
+        @jax.jit
+        def fn(params, feats):
+            sub = {"params": params["params"]["pair_feature_net"]}
+            bias = pfn.apply(sub, feats, method=PairFeatureNet.static_bias)
+            return bias.astype(out_dtype)
+
+        return fn
 
     # ------------------------------------------------------------------ #
     # Hooks (the reference's abstract surface, base.py:39-129)
@@ -115,6 +143,7 @@ class BaseSampler(ABC):
                     )
 
         features = to_device(batch)
+        features["static_pair_bias"] = self._static_bias_fn(self.params, features)
         trans = ancestral_sample(
             self.apply_fn,
             self.params,
@@ -126,6 +155,7 @@ class BaseSampler(ABC):
         )
 
         features = dict(features)
+        features.pop("static_pair_bias", None)
         features["atom_positions"] = trans
         np_features = to_host(features)
         return debatchify(np_features)

@@ -284,6 +284,7 @@ class SMCSampler(BaseSampler):
             self.create_np_features(params) for _ in range(params["num_samples"])
         ]
         features = to_device(batchify([dict(f) for f in host_features]))
+        features["static_pair_bias"] = self._static_bias_fn(self.params, features)
 
         trans, final_score, trace = tds_sample(
             self.apply_fn,
@@ -302,6 +303,7 @@ class SMCSampler(BaseSampler):
         self.final_placement = placements[int(np.asarray(final_score)[0].argmax())]
 
         features = dict(features)
+        features.pop("static_pair_bias", None)
         features["atom_positions"] = trans
         return debatchify(to_host(features))
 
