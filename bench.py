@@ -72,6 +72,28 @@ def main():
 
     apply_fn = make_apply_fn(model, dtype)
 
+    # Hoist the step-invariant pair features (relpos + motif template) out
+    # of the reverse loop, as the samplers do.
+    from genie2_tpu.nn.feature_nets import PairFeatureNet
+
+    pfn = PairFeatureNet(
+        c_s=model.c_s,
+        c_p=model.c_p,
+        n_timestep=model.n_timestep,
+        relpos_k=model.relpos_k,
+        template_dist_min=model.template_dist_min,
+        template_dist_step=model.template_dist_step,
+        template_dist_n_bin=model.template_dist_n_bin,
+    )
+    bias_dtype = jnp.bfloat16 if dtype in ("bf16", "bfloat16") else jnp.float32
+
+    @jax.jit
+    def static_bias(params, f):
+        sub = {"params": params["params"]["pair_feature_net"]}
+        return pfn.apply(sub, f, method=PairFeatureNet.static_bias).astype(bias_dtype)
+
+    feats["static_pair_bias"] = static_bias(params, feats)
+
     def run(k):
         out = ancestral_sample(
             apply_fn, params, schedule, feats, k, jnp.float32(0.6), n_steps

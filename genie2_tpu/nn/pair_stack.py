@@ -39,47 +39,24 @@ class TriangleMultiplicativeUpdate(nn.Module):
         mask = mask[..., None].astype(z.dtype)
 
         z = nn.LayerNorm(name="layer_norm_in")(z)
+        # NOTE: fusing the four gate projections into one [c_z, 4*c_hidden]
+        # matmul was measured SLOWER on v5e (the wide intermediate
+        # materializes; XLA fuses the sigmoid-gate epilogue better with
+        # separate dots), so the reference's separate-linear structure stays.
+        a = Linear(self.c_hidden, name="linear_a_p")(z) * jax.nn.sigmoid(
+            Linear(self.c_hidden, init="gating", name="linear_a_g")(z)
+        )
+        a = a * mask
+        b = Linear(self.c_hidden, name="linear_b_p")(z) * jax.nn.sigmoid(
+            Linear(self.c_hidden, init="gating", name="linear_b_g")(z)
+        )
+        b = b * mask
 
-        # The four gate/projection matmuls (a_p, a_g, b_p, b_g in the
-        # reference, triangular_multiplicative_update.py:42-45) share the
-        # same input; run them as ONE [c_z, 4*c_hidden] matmul so the
-        # O(N^2) tensor is read once. The weight converter fuses the
-        # reference's four kernels into this layout at load time.
-        from genie2_tpu.nn.primitives import make_kernel_init
+        from genie2_tpu.ops.triangle import triangle_multiply
 
-        c = self.c_hidden
-
-        def fused_kernel_init(key, shape, dtype=jnp.float32):
-            ks = jax.random.split(key, 4)
-            default = make_kernel_init("default")
-            blocks = [
-                default(ks[0], (shape[0], c), dtype),   # a_p
-                jnp.zeros((shape[0], c), dtype),        # a_g (gating)
-                default(ks[2], (shape[0], c), dtype),   # b_p
-                jnp.zeros((shape[0], c), dtype),        # b_g (gating)
-            ]
-            return jnp.concatenate(blocks, axis=1)
-
-        def fused_bias_init(key, shape, dtype=jnp.float32):
-            zero, one = jnp.zeros((c,), dtype), jnp.ones((c,), dtype)
-            return jnp.concatenate([zero, one, zero, one])
-
-        proj = nn.Dense(
-            4 * c,
-            kernel_init=fused_kernel_init,
-            bias_init=fused_bias_init,
-            name="fused_ab",
-        )(z)
-        a_p, a_g, b_p, b_g = jnp.split(proj, 4, axis=-1)
-        a = a_p * jax.nn.sigmoid(a_g) * mask
-        b = b_p * jax.nn.sigmoid(b_g) * mask
-
-        if self.outgoing:
-            # x[i, j, c] = sum_k a[i, k, c] b[j, k, c]
-            x = jnp.einsum("...ikc,...jkc->...ijc", a, b)
-        else:
-            # x[i, j, c] = sum_k a[k, i, c] b[k, j, c]
-            x = jnp.einsum("...kic,...kjc->...ijc", a, b)
+        # x[i, j, c] = sum_k a[i, k, c] b[j, k, c]   (outgoing)
+        # x[i, j, c] = sum_k a[k, i, c] b[k, j, c]   (incoming)
+        x = triangle_multiply(a, b, outgoing=self.outgoing, use_pallas=self.use_pallas)
 
         x = nn.LayerNorm(name="layer_norm_out")(x)
         x = Linear(self.c_z, init="final", name="linear_z")(x)

@@ -24,11 +24,14 @@ _PAIR_FEATURE_LINEARS = {
     "linear_template",
     "linear_motif_template",
 }
-# The flax module fuses the four gate/projection linears into one
-# [c_z, 4*c_hidden] Dense named fused_ab (pair_stack.py); conversion
-# concatenates the reference kernels in this slot order.
-_TRI_MUL_FUSED = ["linear_a_p", "linear_a_g", "linear_b_p", "linear_b_g"]
-_TRI_MUL_LINEARS = {"linear_g", "linear_z"}
+_TRI_MUL_LINEARS = {
+    "linear_a_p",
+    "linear_a_g",
+    "linear_b_p",
+    "linear_b_g",
+    "linear_g",
+    "linear_z",
+}
 _LAYER_NORMS = {"layer_norm", "layer_norm_in", "layer_norm_out", "ipa_layer_norm"}
 _IPA_LINEARS = {
     "linear_q",
@@ -70,8 +73,6 @@ def _map_key(key: str) -> Tuple[Tuple[str, ...], str]:
         rest = mod[4:]
         if module in ("tri_mul_out", "tri_mul_in"):
             (sub,) = rest
-            if sub in _TRI_MUL_FUSED:
-                return (*base, "fused_ab", str(_TRI_MUL_FUSED.index(sub)), leaf), "fused"
             if sub in _TRI_MUL_LINEARS:
                 return (*base, sub, "Dense_0", leaf), "linear"
             if sub in _LAYER_NORMS:
@@ -121,7 +122,6 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Reference Denoiser state_dict (with or without Lightning's 'model.'
     prefix) -> flax variables dict {'params': ...}."""
     params: Dict[str, Any] = {}
-    staged_fused: Dict[Tuple[str, ...], Dict[int, np.ndarray]] = {}
 
     for key, tensor in state_dict.items():
         if key.startswith("model."):
@@ -131,15 +131,6 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         )
         path, kind = _map_key(key)
         leaf = path[-1]
-        if kind == "fused":
-            # (..., 'fused_ab', slot, 'weight'/'bias')
-            slot = int(path[-2])
-            base = path[:-2]
-            if leaf == "weight":
-                staged_fused.setdefault((*base, "kernel"), {})[slot] = value.T
-            else:
-                staged_fused.setdefault((*base, "bias"), {})[slot] = value
-            continue
         if kind == "linear" and leaf == "weight":
             value = value.T
             leaf = "kernel"
@@ -154,14 +145,6 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         for name in path[:-1]:
             node = node.setdefault(name, {})
         node[leaf if leaf != "head_weights" else "head_weights"] = value
-
-    for path, slots in staged_fused.items():
-        assert sorted(slots) == [0, 1, 2, 3], path
-        merged = np.concatenate([slots[i] for i in range(4)], axis=-1)
-        node = params
-        for name in path[:-1]:
-            node = node.setdefault(name, {})
-        node[path[-1]] = merged
 
     return {"params": params}
 
