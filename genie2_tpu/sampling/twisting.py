@@ -66,12 +66,32 @@ def placements_to_positions(
     return np.asarray(rows, dtype=np.int32)
 
 
-def xstart_variance(alphas_cumprod_t, tausq: float = 0.012):
-    """sigma~^2 = sigma^2 tau^2 / (sigma^2 + tau^2) with
-    sigma^2 = (1 - abar)/abar — the reference's var_type 6
-    (unconditional_smc.py:291-309)."""
+def xstart_variance(
+    alphas_cumprod_t, tausq: float = 0.012, var_type: int = 6, beta_t=None
+):
+    """The reference's x-start variance heuristic table
+    (unconditional_smc.py:291-309), sigma^2 = (1 - abar)/abar:
+
+      1: sigma^2                    (plain)
+      2: sigma^2/(sigma^2 + 1)      (pseudoinverse-guided, tau^2 = 1)
+      5: shrunk with tau^2 = 0.30
+      4: beta_t / sqrt(abar)        (pseudoinverse-guided Alg. 1)
+      6: sigma^2 tau^2/(sigma^2+tau^2) with caller tau^2 (default, 0.012)
+    """
     sigmasq = (1.0 - alphas_cumprod_t) / alphas_cumprod_t
-    return (sigmasq * tausq) / (sigmasq + tausq)
+    if var_type == 1:
+        return sigmasq
+    if var_type == 2:
+        return sigmasq / (sigmasq + 1.0)
+    if var_type == 5:
+        return (sigmasq * 0.30) / (sigmasq + 0.30)
+    if var_type == 4:
+        if beta_t is None:
+            raise ValueError("var_type 4 needs beta_t")
+        return beta_t / jnp.sqrt(alphas_cumprod_t)
+    if var_type == 6:
+        return (sigmasq * tausq) / (sigmasq + tausq)
+    raise ValueError(f"unknown var_type: {var_type}")
 
 
 def twisting_log_prob(

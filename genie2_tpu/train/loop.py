@@ -20,6 +20,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from genie2_tpu.config import Config
@@ -29,7 +30,7 @@ from genie2_tpu.nn import Denoiser
 from genie2_tpu.parallel import create_mesh, replicate, shard_batch
 from genie2_tpu.train.data import MotifAugmentConfig, StructureDataset
 from genie2_tpu.train.state import TrainState, create_train_state, make_train_step
-from genie2_tpu.utils.model_io import init_params, save_params
+from genie2_tpu.utils.model_io import init_params, load_params, save_params
 
 
 class MetricsLogger:
@@ -100,16 +101,99 @@ class Trainer:
         save_params(path, jax.device_get(self.state.params))
         return path
 
-    def fit(self, dataset: StructureDataset, n_epoch: Optional[int] = None):
+    # -------------------------------------------------------------- #
+    # Full-state checkpointing (params + optimizer + step + data key):
+    # preemption-safe resume, which the reference lacks entirely
+    # (SURVEY.md §5 checkpoint/resume).
+    # -------------------------------------------------------------- #
+
+    def save_state(self, key, epoch: int):
+        path = os.path.join(self.ckpt_dir, "resume_state")
+        blob = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": epoch,
+            "key": jax.device_get(key),
+        }
+        save_params(path, blob)
+        return path
+
+    def restore_state(self):
+        """Restore a resume_state checkpoint if present; returns (key,
+        start_epoch) or None."""
+        path = os.path.join(self.ckpt_dir, "resume_state")
+        if not os.path.isdir(path):
+            return None
+        target = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0,
+            "epoch": 0,
+            "key": jax.device_get(jax.random.PRNGKey(0)),
+        }
+        blob = load_params(path, target)
+        state = TrainState(
+            params=blob["params"],
+            opt_state=blob["opt_state"],
+            step=jnp.asarray(blob["step"], jnp.int32),
+        )
+        self.state = replicate(state, self.mesh) if self.mesh is not None else jax.tree_util.tree_map(jnp.asarray, state)
+        return jnp.asarray(blob["key"]), int(blob["epoch"])
+
+    def evaluate(self, dataset, batch_size: int, key, max_batches: int = 16):
+        """Mean weighted loss over a validation dataset (the reference has
+        no validation dataloader at all, data_module.py)."""
+        from genie2_tpu.diffusion import q_sample
+        from genie2_tpu.geometry import Rigid, frenet_frames
+        from genie2_tpu.train.loss import genie_loss
+
+        model, schedule = self.model, self.schedule
+        w = self.config.training["condition_loss_weight"]
+
+        @jax.jit
+        def eval_step(params, features, key):
+            t_key, noise_key = jax.random.split(key)
+            x0 = features["atom_positions"]
+            t = jax.random.randint(t_key, (x0.shape[0],), 0, schedule.n_timestep) + 1
+            mask = features["residue_mask"].astype(x0.dtype)[..., None]
+            z = jax.random.normal(noise_key, x0.shape, x0.dtype) * mask
+            trans_t = q_sample(schedule, x0, t, z)
+            rots_t = frenet_frames(trans_t, features["chain_index"], features["residue_mask"])
+            out = model.apply(params, Rigid(rots_t, trans_t), t, features)
+            loss, _ = genie_loss(out["z"], z, features, w)
+            return loss
+
+        rng = np.random.default_rng(0)
+        losses = []
+        for i, batch in enumerate(dataset.epoch(batch_size, rng, drop_last=True)):
+            if i >= max_batches:
+                break
+            key, sub = jax.random.split(key)
+            losses.append(float(eval_step(self.state.params, to_device(batch), sub)))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def fit(
+        self,
+        dataset: StructureDataset,
+        n_epoch: Optional[int] = None,
+        resume: bool = False,
+    ):
         cfg = self.config.training
         n_epoch = n_epoch if n_epoch is not None else cfg["n_epoch"]
         batch_size = cfg["batch_size"]
         key = jax.random.PRNGKey(cfg["seed"])
-        data_rng = np.random.default_rng(cfg["seed"])
+        start_epoch = 0
+        if resume:
+            restored = self.restore_state()
+            if restored is not None:
+                key, start_epoch = restored
+                print(f"[resume] epoch {start_epoch}, step {int(self.state.step)}", flush=True)
+        data_rng = np.random.default_rng(cfg["seed"] + start_epoch)
 
         residues_done = 0
         t0 = time.perf_counter()
-        for epoch in range(n_epoch):
+        for epoch in range(start_epoch, n_epoch):
             for batch in dataset.epoch(batch_size, data_rng):
                 key, step_key = jax.random.split(key)
                 device_batch = (
@@ -125,5 +209,6 @@ class Trainer:
                 self.logger.log(step, metrics)
             if (epoch + 1) % cfg["checkpoint_every_n_epoch"] == 0 or epoch == n_epoch - 1:
                 path = self.save_checkpoint(epoch)
+                self.save_state(key, epoch + 1)
                 print(f"[checkpoint] epoch {epoch} -> {path}", flush=True)
         return self.state

@@ -97,7 +97,7 @@ def load_params(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str,
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), target
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), target
         )
         return ckptr.restore(os.path.abspath(path), abstract)
     return ckptr.restore(os.path.abspath(path))

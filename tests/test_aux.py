@@ -1,0 +1,114 @@
+"""Tests for auxiliary components: FK particle filter, secondary structure,
+EMA, x-start variance table."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genie2_tpu.sampling.feynman_kac import smc_feynman_kac
+from genie2_tpu.sampling.twisting import xstart_variance
+from genie2_tpu.features.secstruct import (
+    assign_secstruct,
+    helix_statistic,
+    sec_struct_frac,
+)
+from genie2_tpu.utils.ema import ema_init, ema_read, ema_update
+
+
+class TestFeynmanKac:
+    def test_gaussian_targeting(self):
+        """Particles proposed from N(0,1) random walks, potential favoring
+        x near 3: the filter population must shift toward 3."""
+        P = 64
+
+        def M(key, particles, extra, t):
+            return particles + 0.3 * jax.random.normal(key, particles.shape), extra
+
+        def G(new, old, extra, t):
+            return -0.5 * (new[:, 0] - 3.0) ** 2
+
+        init = jnp.zeros((P, 1))
+        result = smc_feynman_kac(
+            M, G, init, None, jax.random.PRNGKey(0), n_steps=50, n_particles=P
+        )
+        mean = float(jnp.mean(result.particles))
+        assert 1.5 < mean < 4.5, mean
+        assert result.ess_trace.shape == (50,)
+        assert bool(result.resampled_trace.any())
+
+    def test_no_potential_no_resample(self):
+        P = 8
+
+        def M(key, particles, extra, t):
+            return particles, extra
+
+        def G(new, old, extra, t):
+            return jnp.zeros(P)
+
+        result = smc_feynman_kac(
+            M, G, jnp.zeros((P, 2)), None, jax.random.PRNGKey(1), 10, P
+        )
+        assert not bool(result.resampled_trace.any())
+        np.testing.assert_allclose(np.asarray(result.ess_trace), P, rtol=1e-5)
+
+
+def ideal_helix(n):
+    """Ideal alpha-helix CA trace: radius 2.3 A, rise 1.5 A, 100 deg/res."""
+    t = np.arange(n) * np.radians(100.0)
+    return np.stack([2.3 * np.cos(t), 2.3 * np.sin(t), 1.5 * np.arange(n)], axis=-1)
+
+
+def ideal_strand(n):
+    """Extended beta-strand-like zigzag, ~3.4 A rise."""
+    x = np.arange(n) * 3.4
+    y = np.where(np.arange(n) % 2 == 0, 0.0, 1.0)
+    return np.stack([x, y, np.zeros(n)], axis=-1)
+
+
+class TestSecStruct:
+    def test_helix_detected(self):
+        h, s, c = sec_struct_frac(ideal_helix(30))
+        assert h > 0.6, (h, s, c)
+        assert helix_statistic(ideal_helix(30)) == 1.0
+
+    def test_strand_detected(self):
+        h, s, c = sec_struct_frac(ideal_strand(20))
+        assert s > 0.5, (h, s, c)
+        assert h < 0.2
+
+    def test_random_coil_mostly_coil(self):
+        rng = np.random.default_rng(0)
+        coords = np.cumsum(rng.normal(size=(40, 3)) * 2.5, axis=0)
+        h, s, c = sec_struct_frac(coords)
+        assert c > 0.5, (h, s, c)
+
+    def test_short_chain(self):
+        assert assign_secstruct(np.zeros((3, 3))).tolist() == ["c"] * 3
+
+
+class TestEMA:
+    def test_converges_to_constant(self):
+        state = ema_init(jnp.zeros(3))
+        x = jnp.array([1.0, 2.0, 3.0])
+        for _ in range(200):
+            state = ema_update(state, x, decay=0.9)
+        np.testing.assert_allclose(np.asarray(ema_read(state, 0.9)), np.asarray(x), rtol=1e-3)
+
+
+class TestXstartVariance:
+    def test_table(self):
+        abar = jnp.float32(0.5)
+        sigmasq = 1.0
+        assert np.isclose(float(xstart_variance(abar, var_type=1)), sigmasq)
+        assert np.isclose(float(xstart_variance(abar, var_type=2)), 0.5)
+        assert np.isclose(
+            float(xstart_variance(abar, var_type=5)), 0.3 / 1.3, rtol=1e-5
+        )
+        assert np.isclose(
+            float(xstart_variance(abar, var_type=4, beta_t=0.1)),
+            0.1 / np.sqrt(0.5),
+            rtol=1e-5,
+        )
+        with pytest.raises(ValueError):
+            xstart_variance(abar, var_type=3)

@@ -153,3 +153,19 @@ class TestTrainer:
             os.path.join(trainer.ckpt_dir, "epoch=1.ckpt")
         )
         assert os.path.exists(os.path.join(trainer.workdir, "metrics.jsonl"))
+
+        # Validation pass works.
+        import jax
+
+        val = trainer.evaluate(ds, batch_size=4, key=jax.random.PRNGKey(0), max_batches=2)
+        assert np.isfinite(val)
+
+        # Resume restores full state and continues.
+        trainer2 = Trainer(config, use_mesh=False, version=trainer.version)
+        restored = trainer2.restore_state()
+        assert restored is not None
+        _, start_epoch = restored
+        assert start_epoch == 2
+        assert int(trainer2.state.step) == 4
+        state2 = trainer2.fit(ds, n_epoch=3, resume=True)
+        assert int(state2.step) == 6  # one more epoch of 2 batches
