@@ -62,10 +62,16 @@ def summarize_pdb(filepath: str):
     }
 
 
-def features_from_pdb(filepath: str) -> Features:
+def features_from_pdb(filepath: str, use_native: bool = True) -> Features:
     """PDB file -> feature dict with one-hot aatype and mean-centered CA
-    coordinates (feat_utils.py:67-93)."""
-    seqs, coords = parse_pdb(filepath)
+    coordinates (feat_utils.py:67-93). Uses the C++ parser when available
+    (genie2_tpu/features/pdb_native.py, falls back transparently)."""
+    if use_native:
+        from genie2_tpu.features.pdb_native import parse_pdb_fast
+
+        seqs, coords = parse_pdb_fast(filepath)
+    else:
+        seqs, coords = parse_pdb(filepath)
     lengths = [len(s) for s in seqs]
     features = create_empty_features(lengths)
     aatype = np.eye(NUM_RESTYPES)[np.concatenate(seqs)]
