@@ -176,10 +176,17 @@ def _tds_segment(
             motif_distance(x0, positions, motif_target),
             jnp.argmax(score[0]),
         )
-        return (next_trans, log_proposal_next, log_w_acc_next, key), (trace, score)
+        return (next_trans, log_proposal_next, log_w_acc_next, key), (
+            trace,
+            score,
+            x0,
+            next_trans,
+        )
 
-    carry, ((ess, resampled, dist, best), scores) = jax.lax.scan(body, carry, steps)
-    return carry, TDSTrace(ess, resampled, dist, best), scores[-1]
+    carry, ((ess, resampled, dist, best), scores, x0s, xts) = jax.lax.scan(
+        body, carry, steps
+    )
+    return carry, TDSTrace(ess, resampled, dist, best), scores[-1], (x0s, xts)
 
 
 def tds_sample(
@@ -197,13 +204,18 @@ def tds_sample(
     tausq: float = 0.012,
     ess_frac: float = 0.5,
     steps_per_dispatch: Optional[int] = 100,
+    record_every: Optional[int] = None,
 ):
     """Run the full twisted SMC reverse trajectory, segmented into bounded
     dispatches (the step includes a full backward pass; long single
     dispatches can trip runtime watchdogs).
 
     Returns (final translations [P, L, 3], final per-placement scores
-    [P, O], TDSTrace over all steps).
+    [P, O], TDSTrace over all steps, snapshots). When `record_every` is set,
+    snapshots is a dict {step: (x0 [P,L,3], xt [P,L,3])} every
+    `record_every` steps — the reference's trajectory-dump capability
+    (smc_sampler_new_new.py:802-812), recovered from scan outputs instead of
+    per-step host writes.
     """
     import numpy as np
 
@@ -221,9 +233,11 @@ def tds_sample(
     k = steps_per_dispatch or n_timestep
     traces = []
     final_score = None
+    snapshots = {}
     for i in range(0, n_timestep, k):
-        seg = jnp.asarray(all_steps[i : i + k])
-        carry, trace, final_score = _tds_segment(
+        seg_np = all_steps[i : i + k]
+        seg = jnp.asarray(seg_np)
+        carry, trace, final_score, (x0s, xts) = _tds_segment(
             apply_fn,
             params,
             schedule,
@@ -239,8 +253,15 @@ def tds_sample(
             ess_frac=ess_frac,
         )
         traces.append(trace)
+        if record_every:
+            keep = seg_np % record_every == 0
+            if keep.any():
+                x0_host = np.asarray(x0s[keep])
+                xt_host = np.asarray(xts[keep])
+                for j, step in enumerate(seg_np[keep].tolist()):
+                    snapshots[int(step)] = (x0_host[j], xt_host[j])
     trace = TDSTrace(*(jnp.concatenate(parts) for parts in zip(*traces)))
-    return carry[0], final_score, trace
+    return carry[0], final_score, trace, snapshots
 
 
 class SMCSampler(BaseSampler):
@@ -253,6 +274,9 @@ class SMCSampler(BaseSampler):
         self.add_required_parameter("motif_dir")
         self.max_offsets = 1000
         self.untwist_below = 50
+        # Set to e.g. 50 to dump x0/xt PDB snapshots (the reference's
+        # test/ fixtures, smc_sampler_new_new.py:802-812).
+        self.dump_trajectory_every = None
         self._rng = np.random.default_rng(0)
 
     def on_sample_start(self, params: Dict[str, Any]):
@@ -286,7 +310,7 @@ class SMCSampler(BaseSampler):
         features = to_device(batchify([dict(f) for f in host_features]))
         features["static_pair_bias"] = self._static_bias_fn(self.params, features)
 
-        trans, final_score, trace = tds_sample(
+        trans, final_score, trace, snapshots = tds_sample(
             self.apply_fn,
             self.params,
             self.schedule,
@@ -297,9 +321,11 @@ class SMCSampler(BaseSampler):
             jnp.float32(params["scale"]),
             self.schedule.n_timestep,
             untwist_below=self.untwist_below,
+            record_every=self.dump_trajectory_every,
         )
 
         self.trace = jax.tree_util.tree_map(np.asarray, trace)
+        self.snapshots = snapshots
         self.final_placement = placements[int(np.asarray(final_score)[0].argmax())]
 
         features = dict(features)
@@ -316,3 +342,20 @@ class SMCSampler(BaseSampler):
         with open(os.path.join(params["outdir"], "motif_location.txt"), "w") as f:
             for start, end in self.final_placement:
                 f.write(f"{start}\t{end}\n")
+
+        # Optional trajectory dumps, mirroring the reference's filenames
+        # (x0_predicted_test_{step}.pdb / xt_predicted_test_{step}.pdb,
+        # particle 0).
+        if self.snapshots:
+            from genie2_tpu.features import create_empty_features
+
+            dump_dir = os.path.join(params["outdir"], "test")
+            os.makedirs(dump_dir, exist_ok=True)
+            for step, (x0, xt) in sorted(self.snapshots.items()):
+                for tag, arr in (("x0", x0), ("xt", xt)):
+                    f = create_empty_features([arr.shape[1]])
+                    f["atom_positions"] = np.asarray(arr[0], dtype=float)
+                    save_features_to_pdb(
+                        f,
+                        os.path.join(dump_dir, f"{tag}_predicted_test_{step}.pdb"),
+                    )

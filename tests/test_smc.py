@@ -189,6 +189,7 @@ class TestSMCEndToEnd:
         model, params = make_model_and_params(config, length=24)
         sampler = SMCSampler(model, params, config)
         sampler.untwist_below = 2
+        sampler.dump_trajectory_every = 3
         out = sampler.sample(
             {
                 "scale": 1.0,
@@ -216,3 +217,8 @@ class TestSMCEndToEnd:
         assert len(lines) == 2
         (s1, e1), (s2, e2) = [(int(a), int(b)) for a, b in lines]
         assert e1 - s1 == 2 and e2 - s2 == 1 and s2 > e1
+        # Trajectory dumps every 3 steps (steps 6 and 3 of 6..1).
+        for step in (6, 3):
+            for tag in ("x0", "xt"):
+                p = str(tmp_path / "out" / "test" / f"{tag}_predicted_test_{step}.pdb")
+                assert os.path.exists(p), p

@@ -61,7 +61,7 @@ def test_twisting_improves_motif_placement():
 
     feats = to_device(batchify([create_empty_features([L]) for _ in range(P)]))
 
-    twisted, final_score, trace = tds_sample(
+    twisted, final_score, trace, _ = tds_sample(
         apply_fn,
         {},
         schedule,
