@@ -49,7 +49,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
-    dtype = os.environ.get("BENCH_DTYPE", "fp32")
+    # bf16 is the production sampling mode (fp32 is the parity mode; see
+    # genie2_tpu/nn/policy.py). Override with BENCH_DTYPE=fp32.
+    dtype = os.environ.get("BENCH_DTYPE", "bf16")
 
     config = Config(
         overrides={"maximumNumResidues": length, "numTimesteps": n_steps}

@@ -46,28 +46,50 @@ def frenet_frames(
     B, N = mask.shape[0], mask.shape[1]
     dtype = coords.dtype
 
-    # Tangents between consecutive residues: [B, N-1, 3]
-    t = coords[:, 1:] - coords[:, :-1]
-    t = t / jnp.sqrt(eps + jnp.sum(t**2, axis=-1, keepdims=True))
+    # TPU layout note: [B, N, 3] tensors waste 125/128 lanes (the minor dim
+    # pads to 128), so the whole computation runs on per-component [B, N]
+    # arrays — full lane utilization — and the [B, N, 3, 3] rotation tensor
+    # is assembled exactly once at the end.
+    def pad_head_tail(c, head, tail):
+        return jnp.pad(c, [(0, 0), (head, tail)])
 
-    # Binormal / normal on interior residues: [B, N-2, 3]
-    b = jnp.cross(t[:, :-1], t[:, 1:])
-    b = b / jnp.sqrt(eps + jnp.sum(b**2, axis=-1, keepdims=True))
-    n = jnp.cross(b, t[:, 1:])
+    comps = [coords[..., i] for i in range(3)]  # 3 x [B, N]
 
-    # [B, N-2, 3, 3]: columns are (t_j, b, n) for residue j in 1..N-2
-    tbn = jnp.stack([t[:, 1:], b, n], axis=-1)
+    # Tangents between consecutive residues, stored at the left residue:
+    # t[j] = normalize(coords[j+1] - coords[j]) for j in 0..N-2.
+    d = [c[:, 1:] - c[:, :-1] for c in comps]  # [B, N-1]
+    t_norm = jnp.sqrt(eps + sum(x**2 for x in d))
+    t = [x / t_norm for x in d]
 
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 1, 3, 3))
-    # r0[:, j] holds the interior frame for residue j (tbn[j-1]); ends are
-    # placeholders overwritten by the masks below.
-    r0 = jnp.concatenate([eye, tbn, eye], axis=1)  # [B, N, 3, 3]
+    # Binormal b[j] = normalize(t[j] x t[j+1]), normal n = b x t[j+1],
+    # all [B, N-2] per component.
+    t0 = [x[:, :-1] for x in t]
+    t1 = [x[:, 1:] for x in t]
+
+    def cross(u, v):
+        return [
+            u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0],
+        ]
+
+    b = cross(t0, t1)
+    b_norm = jnp.sqrt(eps + sum(x**2 for x in b))
+    b = [x / b_norm for x in b]
+    n = cross(b, t1)
+
+    # Interior frame for residue j (1..N-2) uses (t1, b, n)[j-1]; pad so
+    # component arrays are [B, N] aligned with residues.
+    cols = {
+        "t": [pad_head_tail(x, 1, 1) for x in t1],
+        "b": [pad_head_tail(x, 1, 1) for x in b],
+        "n": [pad_head_tail(x, 1, 1) for x in n],
+    }
 
     length = jnp.sum(mask.astype(jnp.int32), axis=-1)  # [B]
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]  # [1, N]
     in_range = pos < length[:, None]
     interior = (pos >= 1) & (pos <= length[:, None] - 2)
-    r0 = jnp.where(interior[..., None, None], r0, jnp.eye(3, dtype=dtype))
 
     same_as_prev = jnp.concatenate(
         [jnp.zeros((B, 1), bool), chain_index[:, 1:] == chain_index[:, :-1]], axis=1
@@ -80,15 +102,37 @@ def frenet_frames(
     # whose chain id may collide with a real chain id).
     is_end = in_range & (~same_as_next | (pos == length[:, None] - 1))
 
-    # Chain starts copy the (pre-fix) frame of their successor.
-    succ = jnp.concatenate([r0[:, 1:], r0[:, -1:]], axis=1)
-    r1 = jnp.where(is_start[..., None, None], succ, r0)
+    # Identity columns for non-interior/padded positions: t=e_x, b=e_y, n=e_z.
+    identity = {
+        "t": [1.0, 0.0, 0.0],
+        "b": [0.0, 1.0, 0.0],
+        "n": [0.0, 0.0, 1.0],
+    }
 
-    # Chain ends copy the (post-start-fix) frame of their predecessor.
-    pred = jnp.concatenate([r1[:, :1], r1[:, :-1]], axis=1)
-    r2 = jnp.where(is_end[..., None, None], pred, r1)
+    out_cols = {}
+    for name in ("t", "b", "n"):
+        vec = []
+        for comp_idx in range(3):
+            c0 = jnp.where(
+                interior, cols[name][comp_idx], jnp.asarray(identity[name][comp_idx], dtype)
+            )
+            # Chain starts copy the (pre-fix) value of their successor.
+            succ = jnp.concatenate([c0[:, 1:], c0[:, -1:]], axis=1)
+            c1 = jnp.where(is_start, succ, c0)
+            # Chain ends copy the (post-start-fix) value of their predecessor.
+            pred = jnp.concatenate([c1[:, :1], c1[:, :-1]], axis=1)
+            c2 = jnp.where(is_end, pred, c1)
+            vec.append(
+                jnp.where(in_range, c2, jnp.asarray(identity[name][comp_idx], dtype))
+            )
+        out_cols[name] = vec
 
-    return jnp.where(in_range[..., None, None], r2, jnp.eye(3, dtype=dtype))
+    # Assemble [B, N, 3, 3]: rows index xyz components, columns are (t, b, n).
+    rows = [
+        jnp.stack([out_cols["t"][i], out_cols["b"][i], out_cols["n"][i]], axis=-1)
+        for i in range(3)
+    ]
+    return jnp.stack(rows, axis=-2)
 
 
 def pairwise_distance(p: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
