@@ -134,6 +134,9 @@ class Config:
             "use_pallas": bool(c.get("usePallas", False)),
             # Data-parallel mesh axis size; -1 = all local devices.
             "mesh_data": int(c.get("meshData", -1)),
+            # Rematerialize the pair stack in backward (needed at N=256;
+            # can be disabled for small models/tests).
+            "remat": bool(c.get("remat", True)),
         }
 
     def as_dict(self) -> Dict[str, Any]:

@@ -20,6 +20,11 @@ from genie2_tpu.features.motif import (
     sample_motif_mask,
     save_motif_pdb,
 )
+from genie2_tpu.features.secstruct import (
+    assign_secstruct,
+    helix_statistic,
+    sec_struct_frac,
+)
 
 __all__ = [
     "FEATURE_KEYS",
@@ -38,4 +43,7 @@ __all__ = [
     "load_motif_spec",
     "sample_motif_mask",
     "save_motif_pdb",
+    "assign_secstruct",
+    "helix_statistic",
+    "sec_struct_frac",
 ]

@@ -57,6 +57,7 @@ class Denoiser(nn.Module):
     structure_transition_dropout: float
 
     use_pallas: bool = False
+    remat: bool = True
 
     @classmethod
     def from_config(cls, config) -> "Denoiser":
@@ -67,6 +68,7 @@ class Denoiser(nn.Module):
             max_n_res=config.io["max_n_res"],
             max_n_chain=config.io["max_n_chain"],
             use_pallas=config.tpu.get("use_pallas", False),
+            remat=config.tpu.get("remat", True),
         )
 
     @nn.compact
@@ -119,6 +121,7 @@ class Denoiser(nn.Module):
                 tri_dropout=self.tri_dropout,
                 pair_transition_n=self.pair_transition_n,
                 use_pallas=self.use_pallas,
+                remat=self.remat,
                 name="pair_transform_net",
             )(p, features, deterministic=deterministic)
 

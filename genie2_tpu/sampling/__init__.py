@@ -9,6 +9,7 @@ from genie2_tpu.sampling.unconditional import UnconditionalSampler
 from genie2_tpu.sampling.scaffold import ScaffoldSampler
 from genie2_tpu.sampling.smc import SMCSampler, TDSTrace, tds_sample
 from genie2_tpu.sampling.motif_target import load_motif_target, parse_motif_target_pdb
+from genie2_tpu.sampling.feynman_kac import FKResult, smc_feynman_kac
 from genie2_tpu.sampling.resampling import (
     RESAMPLERS,
     ess_from_log_weights,
@@ -37,6 +38,8 @@ __all__ = [
     "tds_sample",
     "load_motif_target",
     "parse_motif_target_pdb",
+    "FKResult",
+    "smc_feynman_kac",
     "RESAMPLERS",
     "ess_from_log_weights",
     "multinomial_resample_indices",

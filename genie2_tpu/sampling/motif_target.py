@@ -49,5 +49,8 @@ def parse_motif_target_pdb(path: str) -> Tuple[List[np.ndarray], int]:
 def load_motif_target(index: int, folder_path: str) -> Tuple[List[np.ndarray], int]:
     """Load the index-th motif problem from a MotifBench-style directory
     (files sorted by their leading number, sampler/utils.py:130-151)."""
-    files = sorted(os.listdir(folder_path), key=lambda x: int(x.split("_")[0]))
+    files = sorted(
+        (f for f in os.listdir(folder_path) if f.endswith(".pdb")),
+        key=lambda x: int(x.split("_")[0]),
+    )
     return parse_motif_target_pdb(os.path.join(folder_path, files[index]))

@@ -20,6 +20,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# CPU compiles dominate suite runtime (the full train-step graph takes ~90s
+# to build); persist them. (The persistent cache is only unsafe under the
+# TPU remote-compile tunnel, which tests never use.)
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
 

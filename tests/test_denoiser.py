@@ -29,6 +29,7 @@ def small_config():
             "ipaNumVPoints": 3,
             "numTimesteps": 100,
             "maximumNumResidues": 32,
+            "remat": False,
         }
     )
 

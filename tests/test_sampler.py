@@ -31,6 +31,7 @@ def tiny_config(n_timestep=8):
             "ipaNumVPoints": 2,
             "numTimesteps": n_timestep,
             "maximumNumResidues": 64,
+            "remat": False,
         }
     )
 

@@ -40,6 +40,7 @@ def tiny_config():
             "ipaNumVPoints": 2,
             "numTimesteps": 10,
             "maximumNumResidues": 24,
+            "remat": False,
         }
     )
 
@@ -130,14 +131,45 @@ class TestTrainStep:
         key = jax.random.PRNGKey(0)
         losses = []
         feats = to_device(batch)
-        for i in range(12):
+        for i in range(8):
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, feats, sub)
             losses.append(float(metrics["weighted_loss"]))
-        assert int(state.step) == 12
+        assert int(state.step) == 8
         assert np.isfinite(losses).all()
         # Overfitting one small batch must reduce the loss.
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    def test_remat_matches_no_remat(self):
+        """Pair-stack rematerialization must not change gradients."""
+        config = tiny_config()
+        ds = synthetic_dataset(4, max_n_res=24)
+        batch = next(ds.epoch(2, np.random.default_rng(3)))
+        model_plain, params = init_model(config, batch)
+        config_r = tiny_config()
+        config_r.tpu["remat"] = True
+        model_remat = Denoiser.from_config(config_r)
+
+        from genie2_tpu.train.loss import genie_loss
+        from genie2_tpu.diffusion import q_sample
+
+        schedule = Schedule.create(config.diffusion["n_timestep"])
+        feats = to_device(batch)
+
+        def loss(model, params, key):
+            x0 = feats["atom_positions"]
+            t = jnp.array([3, 7])
+            z = jax.random.normal(key, x0.shape) * feats["residue_mask"][..., None]
+            xt = q_sample(schedule, x0, t, z)
+            rots = frenet_frames(xt, feats["chain_index"], feats["residue_mask"])
+            out = model.apply(params, Rigid(rots, xt), t, feats)
+            return genie_loss(out["z"], z, feats, 1.0)[0]
+
+        key = jax.random.PRNGKey(0)
+        g1 = jax.grad(lambda p: loss(model_plain, p, key))(params)
+        g2 = jax.grad(lambda p: loss(model_remat, p, key))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
     def test_data_parallel_mesh_matches_single_device(self):
         """The 8-device data-parallel step must produce the same update as
