@@ -19,6 +19,8 @@ def run(args):
     model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
     sampler = SMCSampler(model, params, config)
     sampler.max_offsets = args.max_offsets
+    if args.dump_trajectory_every:
+        sampler.dump_trajectory_every = args.dump_trajectory_every
     sampler.sample(
         {
             "scale": args.scale,
@@ -57,4 +59,6 @@ if __name__ == "__main__":
     parser.add_argument("--max_offsets", type=int, default=1000)
     parser.add_argument("--offset", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dump_trajectory_every", type=int, default=0,
+                        help="Dump x0/xt PDB snapshots every K steps (0 = off)")
     run(parser.parse_args())

@@ -34,22 +34,31 @@ from genie2_tpu.utils.model_io import init_params, load_params, save_params
 
 
 class MetricsLogger:
+    """stdout + LoggerSet (JSONL always; wandb via GENIE2_WANDB_PROJECT env,
+    TensorBoard via GENIE2_TENSORBOARD=1 — both optional, matching the
+    reference's TB+wandb pair, train.py:20-32)."""
+
     def __init__(self, logdir: str, log_every: int = 1):
+        from genie2_tpu.utils.loggers import LoggerSet
+
         os.makedirs(logdir, exist_ok=True)
-        self.path = os.path.join(logdir, "metrics.jsonl")
         self.log_every = log_every
+        self._set = LoggerSet(
+            logdir,
+            wandb_project=os.environ.get("GENIE2_WANDB_PROJECT"),
+            tensorboard=os.environ.get("GENIE2_TENSORBOARD") == "1",
+        )
 
     def log(self, step: int, metrics: Dict, prefix: str = "train"):
         if step % self.log_every != 0:
             return
-        record = {"step": step, "prefix": prefix}
-        record.update(
-            {k: float(np.asarray(v)) for k, v in metrics.items()}
-        )
-        with open(self.path, "a") as f:
-            f.write(json.dumps(record) + "\n")
-        printable = " ".join(f"{k}={v:.4f}" for k, v in record.items() if isinstance(v, float))
+        floats = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        self._set.log(step, floats, prefix)
+        printable = " ".join(f"{k}={v:.4f}" for k, v in floats.items())
         print(f"[{prefix} step {step}] {printable}", flush=True)
+
+    def finish(self):
+        self._set.finish()
 
 
 def next_version(basedir: str) -> int:
