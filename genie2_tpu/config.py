@@ -121,6 +121,8 @@ class Config:
             "log_every_n_step": int(c.get("logEverySteps", 1000)),
             "checkpoint_every_n_epoch": int(c.get("checkpointEveryEpoches", 500)),
             "condition_loss_weight": int(c.get("conditionLossWeight", 1)),
+            # Weight EMA decay (0 = off; no reference counterpart).
+            "ema_decay": float(c.get("emaDecay", 0)),
         }
         self.optimization = {
             "lr": float(c.get("learningRate", 1e-4)),

@@ -98,16 +98,29 @@ class Trainer:
         )
 
         params = init_params(self.model, config, seed=config.training["seed"])
-        self.state, self._tx = create_train_state(params, config.optimization["lr"])
+        self.state, self._tx = create_train_state(
+            params, config.optimization["lr"],
+            ema_decay=config.training.get("ema_decay", 0.0),
+        )
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
         self._step_fn = make_train_step(
-            self.model, self.schedule, self._tx, config.training["condition_loss_weight"]
+            self.model,
+            self.schedule,
+            self._tx,
+            config.training["condition_loss_weight"],
+            compute_dtype=config.tpu.get("compute_dtype", "fp32"),
+            ema_decay=config.training.get("ema_decay", 0.0),
         )
 
     def save_checkpoint(self, epoch: int):
         path = os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt")
         save_params(path, jax.device_get(self.state.params))
+        if self.state.ema is not None:
+            save_params(
+                os.path.join(self.ckpt_dir, f"epoch={epoch}.ema.ckpt"),
+                jax.device_get(self.state.ema),
+            )
         return path
 
     # -------------------------------------------------------------- #
@@ -125,6 +138,8 @@ class Trainer:
             "epoch": epoch,
             "key": jax.device_get(key),
         }
+        if self.state.ema is not None:
+            blob["ema"] = jax.device_get(self.state.ema)
         save_params(path, blob)
         return path
 
@@ -141,11 +156,14 @@ class Trainer:
             "epoch": 0,
             "key": jax.device_get(jax.random.PRNGKey(0)),
         }
+        if self.state.ema is not None:
+            target["ema"] = jax.device_get(self.state.ema)
         blob = load_params(path, target)
         state = TrainState(
             params=blob["params"],
             opt_state=blob["opt_state"],
             step=jnp.asarray(blob["step"], jnp.int32),
+            ema=blob.get("ema"),
         )
         self.state = replicate(state, self.mesh) if self.mesh is not None else jax.tree_util.tree_map(jnp.asarray, state)
         return jnp.asarray(blob["key"]), int(blob["epoch"])
@@ -187,6 +205,7 @@ class Trainer:
         dataset: StructureDataset,
         n_epoch: Optional[int] = None,
         resume: bool = False,
+        val_dataset: Optional[StructureDataset] = None,
     ):
         cfg = self.config.training
         n_epoch = n_epoch if n_epoch is not None else cfg["n_epoch"]
@@ -216,6 +235,10 @@ class Trainer:
                 metrics = dict(metrics)
                 metrics["residues_per_s"] = residues_done / (time.perf_counter() - t0)
                 self.logger.log(step, metrics)
+            if val_dataset is not None:
+                key, val_key = jax.random.split(key)
+                val_loss = self.evaluate(val_dataset, batch_size, val_key)
+                self.logger.log(int(self.state.step), {"val_loss": val_loss}, prefix="val")
             if (epoch + 1) % cfg["checkpoint_every_n_epoch"] == 0 or epoch == n_epoch - 1:
                 path = self.save_checkpoint(epoch)
                 self.save_state(key, epoch + 1)

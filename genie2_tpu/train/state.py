@@ -28,16 +28,42 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # Exponential moving average of params (None when disabled). The
+    # reference has no weight EMA at all (SURVEY.md §5).
+    ema: Any = None
 
 
-def create_train_state(params, lr: float) -> Tuple[TrainState, optax.GradientTransformation]:
+def create_train_state(
+    params, lr: float, ema_decay: float = 0.0
+) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = optax.adam(lr)
-    return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)), tx
+    ema = jax.tree_util.tree_map(jnp.array, params) if ema_decay > 0 else None
+    return (
+        TrainState(
+            params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32),
+            ema=ema,
+        ),
+        tx,
+    )
 
 
-def make_train_step(model, schedule: Schedule, tx, condition_loss_weight: float):
+def make_train_step(
+    model,
+    schedule: Schedule,
+    tx,
+    condition_loss_weight: float,
+    compute_dtype: str = "fp32",
+    ema_decay: float = 0.0,
+):
     """Build the jitted training step. Returned fn signature:
-    (state, features, key) -> (state, metrics)."""
+    (state, features, key) -> (state, metrics).
+
+    compute_dtype="bf16" runs the denoiser forward/backward in bfloat16
+    (parameters, optimizer state, loss and update stay fp32 — standard
+    mixed precision; bf16's dynamic range needs no loss scaling)."""
+    from genie2_tpu.nn.policy import make_apply_fn
+
+    apply_fn = make_apply_fn(model, compute_dtype)
 
     def loss_fn(params, features, key):
         t_key, noise_key, dropout_key = jax.random.split(key, 3)
@@ -56,19 +82,27 @@ def make_train_step(model, schedule: Schedule, tx, condition_loss_weight: float)
         rots_t = frenet_frames(trans_t, features["chain_index"], features["residue_mask"])
         ts = Rigid(rots_t, trans_t)
 
-        out = model.apply(
+        out = apply_fn(
             params, ts, t, features, deterministic=False, rngs={"dropout": dropout_key}
         )
         return genie_loss(out["z"], z, features, condition_loss_weight)
 
-    @jax.jit
-    def train_step(state: TrainState, features: Dict, key) -> Tuple[TrainState, Dict]:
+    def train_step_impl(state: TrainState, features: Dict, key, ema_decay: float):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, features, key
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        ema = state.ema
+        if ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p, ema, params
+            )
+        return TrainState(params, opt_state, state.step + 1, ema), metrics
+
+    @jax.jit
+    def train_step(state: TrainState, features: Dict, key) -> Tuple[TrainState, Dict]:
+        return train_step_impl(state, features, key, ema_decay)
 
     return train_step

@@ -140,6 +140,51 @@ class TestTrainStep:
         # Overfitting one small batch must reduce the loss.
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
+    def test_bf16_training_close_to_fp32(self):
+        """Mixed-precision step: same update direction, loose tolerance."""
+        config = tiny_config()
+        ds = synthetic_dataset(4, max_n_res=24)
+        batch = next(ds.epoch(2, np.random.default_rng(7)))
+        model, params = init_model(config, batch)
+        schedule = Schedule.create(config.diffusion["n_timestep"])
+        feats = to_device(batch)
+        key = jax.random.PRNGKey(9)
+
+        state32, tx = create_train_state(params, lr=1e-3)
+        step32 = make_train_step(model, schedule, tx, 1.0, compute_dtype="fp32")
+        s32, m32 = step32(state32, feats, key)
+
+        state16, tx2 = create_train_state(params, lr=1e-3)
+        step16 = make_train_step(model, schedule, tx2, 1.0, compute_dtype="bf16")
+        s16, m16 = step16(state16, feats, key)
+
+        assert np.isfinite(float(m16["weighted_loss"]))
+        assert abs(float(m16["weighted_loss"]) - float(m32["weighted_loss"])) < 0.1
+
+    def test_ema_tracks_params(self):
+        config = tiny_config()
+        ds = synthetic_dataset(4, max_n_res=24)
+        batch = next(ds.epoch(2, np.random.default_rng(8)))
+        model, params = init_model(config, batch)
+        schedule = Schedule.create(config.diffusion["n_timestep"])
+        state, tx = create_train_state(params, lr=1e-2, ema_decay=0.5)
+        assert state.ema is not None
+        step_fn = make_train_step(model, schedule, tx, 1.0, ema_decay=0.5)
+        feats = to_device(batch)
+        key = jax.random.PRNGKey(0)
+        for i in range(3):
+            key, sub = jax.random.split(key)
+            state, _ = step_fn(state, feats, sub)
+        # EMA lags behind params but is no longer the init values.
+        def global_diff(a, b):
+            return max(
+                float(np.abs(np.asarray(x - y)).max())
+                for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+            )
+
+        assert global_diff(state.ema, params) > 0
+        assert global_diff(state.ema, state.params) > 0
+
     def test_remat_matches_no_remat(self):
         """Pair-stack rematerialization must not change gradients."""
         config = tiny_config()
