@@ -24,6 +24,7 @@ def main():
     from genie2_tpu.train import create_train_state, make_train_step, synthetic_dataset
     from genie2_tpu.utils.model_io import init_params
 
+    dtype = os.environ.get("TRAIN_DTYPE", "fp32")
     batch = int(os.environ.get("TRAIN_BATCH", "4"))
     length = int(os.environ.get("TRAIN_LEN", "256"))
     n_steps = int(os.environ.get("TRAIN_STEPS", "20"))
@@ -35,7 +36,7 @@ def main():
     schedule = Schedule.create(config.diffusion["n_timestep"])
     params = init_params(model, config)
     state, tx = create_train_state(params, config.optimization["lr"])
-    step_fn = make_train_step(model, schedule, tx, 1.0)
+    step_fn = make_train_step(model, schedule, tx, 1.0, compute_dtype=dtype)
 
     ds = synthetic_dataset(batch * 2, max_n_res=length, min_n_res=length)
     batch_np = next(ds.epoch(batch, np.random.default_rng(0)))
@@ -70,7 +71,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"train_residues_per_s_L{length}_B{batch}",
+                "metric": f"train_residues_per_s_L{length}_B{batch}_{dtype}",
                 "value": round(residues_per_batch / dt, 1),
                 "unit": "residues/s/chip",
                 "extra": {
