@@ -16,11 +16,44 @@ import random
 import jax
 
 
+def run_packed(args, model, params, config):
+    """--pack: fill every batch with samples of (possibly) different target
+    lengths grouped by padding bucket — no ragged batches at sweep edges."""
+    from genie2_tpu.sampling import PackedUnconditionalSampler
+    from genie2_tpu.sampling.base import bucket_length
+
+    sampler = PackedUnconditionalSampler(model, params, config)
+    tasks = [
+        (length, i)
+        for length in range(args.max_length, args.min_length - 1, -args.length_step)
+        for i in range(args.num_samples)
+    ]
+    tasks.sort(key=lambda t: (bucket_length(t[0], sampler.bucket), t[0], t[1]))
+
+    for start in range(0, len(tasks), args.batch_size):
+        chunk = tasks[start : start + args.batch_size]
+        sampler.sample(
+            {
+                "scale": args.scale,
+                "outdir": args.outdir,
+                "num_samples": len(chunk),
+                "prefix": "packed",
+                "offset": start,
+                "lengths": [l for l, _ in chunk],
+                "names": [f"{l}_{i}" for l, i in chunk],
+                "seed": args.seed,
+            }
+        )
+    print(f"packed sweep: {len(tasks)} samples done", flush=True)
+
+
 def run_tasks(args):
     from genie2_tpu.sampling import UnconditionalSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
     model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    if args.pack:
+        return run_packed(args, model, params, config)
     sampler = UnconditionalSampler(model, params, config)
 
     lengths = list(range(args.max_length, args.min_length - 1, -args.length_step))
@@ -66,4 +99,6 @@ if __name__ == "__main__":
                         help="Mesh size (-1 = all; kept for CLI parity)")
     parser.add_argument("--sequential_order", action="store_true",
                         help="Run in decreasing order of length")
+    parser.add_argument("--pack", action="store_true",
+                        help="Pack mixed lengths into full bucket-grouped batches")
     run_tasks(parser.parse_args())

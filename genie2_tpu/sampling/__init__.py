@@ -5,7 +5,10 @@ from genie2_tpu.sampling.ddpm import (
     ancestral_sample_with_trajectory,
     reverse_step,
 )
-from genie2_tpu.sampling.unconditional import UnconditionalSampler
+from genie2_tpu.sampling.unconditional import (
+    PackedUnconditionalSampler,
+    UnconditionalSampler,
+)
 from genie2_tpu.sampling.scaffold import ScaffoldSampler
 from genie2_tpu.sampling.smc import SMCSampler, TDSTrace, tds_sample
 from genie2_tpu.sampling.motif_target import load_motif_target, parse_motif_target_pdb
@@ -32,6 +35,7 @@ __all__ = [
     "ancestral_sample_with_trajectory",
     "reverse_step",
     "UnconditionalSampler",
+    "PackedUnconditionalSampler",
     "ScaffoldSampler",
     "SMCSampler",
     "TDSTrace",

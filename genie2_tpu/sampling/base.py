@@ -100,6 +100,12 @@ class BaseSampler(ABC):
     def on_sample_end(self, params: Dict[str, Any], list_np_features: List[Dict]):
         ...
 
+    def create_np_features_batch(self, params: Dict[str, Any]) -> List[Dict]:
+        """Default: num_samples independent draws of create_np_features.
+        Packed samplers override this to mix per-sample shapes in one batch
+        (padding makes mixed lengths free — the model is mask-invariant)."""
+        return [self.create_np_features(params) for _ in range(params["num_samples"])]
+
     def add_required_parameter(self, name: str):
         self.required.append(name)
 
@@ -123,9 +129,7 @@ class BaseSampler(ABC):
         if key is None:
             key = jax.random.PRNGKey(int(params.get("seed", 0)) + int(params["offset"]))
 
-        host_features = [
-            self.create_np_features(params) for _ in range(params["num_samples"])
-        ]
+        host_features = self.create_np_features_batch(params)
         batch = batchify([dict(f) for f in host_features])
 
         # Pad the residue axis to a bucket; padded positions are masked and

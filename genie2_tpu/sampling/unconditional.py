@@ -30,3 +30,30 @@ class UnconditionalSampler(BaseSampler):
             save_features_to_pdb(
                 np_features, os.path.join(params["outdir"], "pdbs", f"{name}.pdb")
             )
+
+
+class PackedUnconditionalSampler(UnconditionalSampler):
+    """Length-packed variant: one batch mixes different target lengths
+    (padded to a shared bucket). The reference sweeps lengths one task at a
+    time with a fixed batch (sample_unconditional.py:101-120), leaving
+    batches ragged at the sweep edges; packing keeps every batch full.
+
+    Required params: `lengths` (one per sample) and `names` (output file
+    stem per sample, e.g. "173_2")."""
+
+    def setup(self):
+        self.add_required_parameter("lengths")
+        self.add_required_parameter("names")
+
+    def validate_parameters(self, params: Dict[str, Any]) -> bool:
+        ok = super().validate_parameters(params)
+        return ok and len(params["lengths"]) == len(params["names"])
+
+    def create_np_features_batch(self, params: Dict[str, Any]):
+        return [create_empty_features([l]) for l in params["lengths"]]
+
+    def on_sample_end(self, params: Dict[str, Any], list_np_features: List[Dict]):
+        for name, np_features in zip(params["names"], list_np_features):
+            save_features_to_pdb(
+                np_features, os.path.join(params["outdir"], "pdbs", f"{name}.pdb")
+            )

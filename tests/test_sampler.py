@@ -10,7 +10,12 @@ from genie2_tpu.config import Config
 from genie2_tpu.features import batchify, create_empty_features, to_device
 from genie2_tpu.geometry import Rigid, frenet_frames
 from genie2_tpu.nn import Denoiser
-from genie2_tpu.sampling import UnconditionalSampler, ScaffoldSampler, bucket_length
+from genie2_tpu.sampling import (
+    PackedUnconditionalSampler,
+    ScaffoldSampler,
+    UnconditionalSampler,
+    bucket_length,
+)
 
 
 def tiny_config(n_timestep=8):
@@ -101,6 +106,29 @@ class TestUnconditionalSampler:
         np.testing.assert_array_equal(a[0]["atom_positions"], b[0]["atom_positions"])
         c = sampler.sample(p, key=jax.random.PRNGKey(8))
         assert np.abs(c[0]["atom_positions"] - a[0]["atom_positions"]).max() > 1e-6
+
+
+class TestPackedSampler:
+    def test_mixed_lengths_one_batch(self, tmp_path):
+        config = tiny_config()
+        model, params = make_model_and_params(config)
+        sampler = PackedUnconditionalSampler(model, params, config)
+        out = sampler.sample(
+            {
+                "scale": 0.6,
+                "outdir": str(tmp_path),
+                "num_samples": 3,
+                "prefix": "packed",
+                "offset": 0,
+                "lengths": [10, 14, 17],
+                "names": ["10_0", "14_0", "17_1"],
+            },
+            key=jax.random.PRNGKey(0),
+        )
+        assert [int(f["num_residues"]) for f in out] == [10, 14, 17]
+        for name, f in zip(["10_0", "14_0", "17_1"], out):
+            assert np.isfinite(f["atom_positions"]).all()
+            assert os.path.exists(str(tmp_path / "pdbs" / f"{name}.pdb"))
 
 
 MOTIF_SPEC_PDB = """REMARK 999 NAME   tiny
