@@ -29,7 +29,7 @@ def cast_floating(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
-def make_apply_fn(model, compute_dtype: str = "fp32") -> Callable:
+def make_apply_fn(model, compute_dtype: str = "fp32", cast_params: bool = True) -> Callable:
     """Wrap model.apply with the chosen precision policy. Signature matches
     model.apply(params, ts, t, feats, ...).
 
@@ -56,8 +56,10 @@ def make_apply_fn(model, compute_dtype: str = "fp32") -> Callable:
             for k, v in features.items()
         }
         bias = features.pop("static_pair_bias", None)
+        # cast_params=False when the caller pre-cast the tree (samplers do,
+        # so the 63MB cast doesn't re-run on every scan step).
         out = model.apply(
-            cast_floating(params, bf16),
+            cast_floating(params, bf16) if cast_params else params,
             Rigid(ts.rots.astype(bf16), ts.trans.astype(bf16)),
             timesteps,
             features,

@@ -38,17 +38,21 @@ class BaseSampler(ABC):
         bucket: int = 32,
         compute_dtype: Optional[str] = None,
     ):
-        from genie2_tpu.nn.policy import make_apply_fn
+        from genie2_tpu.nn.policy import cast_floating, make_apply_fn
 
         self.model = model
-        self.params = params
         self.config = config
         self.schedule = Schedule.create(
             config.diffusion["n_timestep"], config.diffusion["schedule"]
         )
         self.bucket = bucket
         self.compute_dtype = compute_dtype or config.tpu.get("compute_dtype", "fp32")
-        self.apply_fn = make_apply_fn(model, self.compute_dtype)
+        # Pre-cast params once so the scan body doesn't re-cast per step.
+        if self.compute_dtype in ("bf16", "bfloat16"):
+            self.params = cast_floating(params, jnp.bfloat16)
+        else:
+            self.params = params
+        self.apply_fn = make_apply_fn(model, self.compute_dtype, cast_params=False)
         self._static_bias_fn = self._build_static_bias_fn()
         self.required = ["scale", "outdir", "num_samples", "prefix", "offset"]
         self.setup()
