@@ -71,19 +71,31 @@ def rot_to_quat(rot: jnp.ndarray, method: str = "closed") -> jnp.ndarray:
     qy = jnp.stack([xz - zx, xy + yx, 1.0 + yy - xx - zz, yz + zy], axis=-1)
     qz = jnp.stack([yx - xy, xz + zx, yz + zy, 1.0 + zz - xx - yy], axis=-1)
 
-    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # [*, 4, 4]
     # Candidate i has leading term 4*q_i^2 on its diagonal entry; pick the
     # candidate with the largest diagonal (most stable denominator).
+    # NOTE: selection is arithmetic (one-hot weighted sum), not
+    # take_along_axis — batched small-axis gathers lower catastrophically on
+    # TPU (measured 20 ms per denoiser step at [4,256,256] before this).
     diags = jnp.stack(
         [qw[..., 0], qx[..., 1], qy[..., 2], qz[..., 3]], axis=-1
     )  # [*, 4]
-    best = jnp.argmax(diags, axis=-1)
-    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2)
-    q = jnp.squeeze(q, axis=-2)
+    m = jnp.max(diags, axis=-1, keepdims=True)
+    # Break exact ties toward the first candidate so exactly one is chosen.
+    is_best = diags >= m
+    first_best = is_best & (jnp.cumsum(is_best, axis=-1) == 1)
+    w = first_best.astype(qw.dtype)
+    q = (
+        w[..., 0:1] * qw
+        + w[..., 1:2] * qx
+        + w[..., 2:3] * qy
+        + w[..., 3:4] * qz
+    )
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
-    # Canonical sign: make the largest-magnitude component positive.
-    lead = jnp.take_along_axis(
-        q, jnp.argmax(jnp.abs(q), axis=-1, keepdims=True), axis=-1
-    )
+    # Canonical sign: make the largest-magnitude component positive
+    # (same gather-free selection).
+    absq = jnp.abs(q)
+    am = jnp.max(absq, axis=-1, keepdims=True)
+    sel = (absq >= am) & (jnp.cumsum(absq >= am, axis=-1) == 1)
+    lead = jnp.sum(jnp.where(sel, q, 0.0), axis=-1, keepdims=True)
     return q * jnp.sign(lead)
