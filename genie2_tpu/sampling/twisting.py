@@ -112,8 +112,7 @@ def twisting_log_prob(
     Returns:
         (log_prob [P], per-placement scores [P, O]).
     """
-    # Gather placements: [P, O, M, 3]
-    sel = x0[:, positions, :]
+    sel = _select_placements(x0, positions)
     sel = sel - jnp.mean(sel, axis=-2, keepdims=True)
     score = -jnp.sum((sel - motif_target[None, None]) ** 2, axis=(-1, -2)) / (
         2.0 * variance
@@ -123,9 +122,22 @@ def twisting_log_prob(
     return log_prob, score
 
 
+def _select_placements(x0: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+    """[P, L, 3] coords + [O, M] placement table -> [P, O, M, 3].
+
+    Implemented as a one-hot contraction, NOT x0[:, positions]: batched
+    gathers lower catastrophically on TPU (same lesson as rot_to_quat —
+    see BENCH_NOTES.md), while this einsum is a tiny MXU matmul. The
+    gradient (needed through the twisting potential) is the transposed
+    matmul — a scatter-free scatter-add.
+    """
+    onehot = jax.nn.one_hot(positions, x0.shape[1], dtype=x0.dtype)  # [O, M, L]
+    return jnp.einsum("oml,pld->pomd", onehot, x0)
+
+
 def motif_distance(x0, positions, motif_target):
     """Mean squared deviation between placed-and-centered x0 and the motif,
     for monitoring (unconditional_smc.py:327)."""
-    sel = x0[:, positions, :]
+    sel = _select_placements(x0, positions)
     sel = sel - jnp.mean(sel, axis=-2, keepdims=True)
     return jnp.mean((sel - motif_target[None, None]) ** 2)
