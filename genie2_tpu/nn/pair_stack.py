@@ -14,8 +14,6 @@ training-step level instead.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

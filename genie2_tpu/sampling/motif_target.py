@@ -9,7 +9,7 @@ from the PDB's third line (`... : <length>`)."""
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -9,8 +9,6 @@ weights, so every scheme runs inside jit/scan.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

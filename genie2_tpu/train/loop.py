@@ -14,7 +14,6 @@ over the jitted data-parallel train step:
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Dict, Optional
@@ -28,7 +27,7 @@ from genie2_tpu.diffusion import Schedule
 from genie2_tpu.features import to_device
 from genie2_tpu.nn import Denoiser
 from genie2_tpu.parallel import create_mesh, replicate, shard_batch
-from genie2_tpu.train.data import MotifAugmentConfig, StructureDataset
+from genie2_tpu.train.data import StructureDataset
 from genie2_tpu.train.state import TrainState, create_train_state, make_train_step
 from genie2_tpu.utils.model_io import init_params, load_params, save_params
 

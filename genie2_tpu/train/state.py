@@ -12,7 +12,6 @@ gradient all-reduce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
