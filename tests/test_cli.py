@@ -1,0 +1,105 @@
+"""CLI-glue tests: run the CLI entry functions in-process against a
+release-layout checkpoint fixture (subprocess CLIs would grab the real TPU
+in this environment)."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from genie2_tpu.utils.model_io import save_params
+from tests.test_sampler import tiny_config, make_model_and_params
+
+
+@pytest.fixture(scope="module")
+def release_dir(tmp_path_factory):
+    """results/<name>/{configuration, checkpoints/epoch.1.ckpt}."""
+    root = tmp_path_factory.mktemp("results")
+    base = root / "vcli"
+    (base / "checkpoints").mkdir(parents=True)
+    config_lines = [
+        "name vcli",
+        "numTimesteps 8",
+        "singleFeatureDimension 16",
+        "pairFeatureDimension 8",
+        "positionalEmbeddingDimension 8",
+        "chainEmbeddingDimension 4",
+        "timestepEmbeddingDimension 8",
+        "templateDistanceNumBins 5",
+        "numPairTransformLayers 1",
+        "triangularMultiplicativeHiddenDimension 4",
+        "numStructureLayers 1",
+        "ipaHiddenDimension 4",
+        "ipaNumHeads 2",
+        "ipaNumQkPoints 2",
+        "ipaNumVPoints 2",
+        "maximumNumResidues 64",
+        "remat False",
+    ]
+    (base / "configuration").write_text("\n".join(config_lines))
+    config = tiny_config()
+    model, params = make_model_and_params(config)
+    save_params(str(base / "checkpoints" / "epoch.1.ckpt"), jax.device_get(params))
+    return str(root)
+
+
+def test_sample_unconditional_cli(release_dir, tmp_path):
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    args = argparse.Namespace(
+        name="vcli", epoch=1, rootdir=release_dir, scale=0.6,
+        outdir=str(tmp_path / "out"), num_samples=1, batch_size=2,
+        min_length=14, max_length=16, length_step=2, seed=0,
+        num_devices=-1, sequential_order=True, pack=False,
+    )
+    run_tasks(args)
+    for l in (14, 16):
+        assert os.path.exists(str(tmp_path / "out" / "pdbs" / f"{l}_0.pdb"))
+
+
+def test_sample_unconditional_cli_packed(release_dir, tmp_path):
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    args = argparse.Namespace(
+        name="vcli", epoch=1, rootdir=release_dir, scale=0.6,
+        outdir=str(tmp_path / "out"), num_samples=1, batch_size=4,
+        min_length=12, max_length=18, length_step=2, seed=0,
+        num_devices=-1, sequential_order=False, pack=True,
+    )
+    run_tasks(args)
+    for l in (12, 14, 16, 18):
+        assert os.path.exists(str(tmp_path / "out" / "pdbs" / f"{l}_0.pdb"))
+
+
+def test_sample_scaffold_cli(release_dir, tmp_path):
+    from genie2_tpu.cli.sample_scaffold import run_tasks
+    from tests.test_sampler import MOTIF_SPEC_PDB, _motif_atoms
+
+    datadir = tmp_path / "motifs"
+    datadir.mkdir()
+    (datadir / "p1.pdb").write_text(MOTIF_SPEC_PDB + _motif_atoms())
+
+    args = argparse.Namespace(
+        name="vcli", epoch=1, rootdir=release_dir, scale=0.4,
+        outdir=str(tmp_path / "out"), strength=0, num_samples=1, batch_size=1,
+        motif_name=None, datadir=str(datadir), seed=0, num_devices=-1,
+    )
+    run_tasks(args)
+    assert os.path.exists(str(tmp_path / "out" / "motif=p1" / "pdbs" / "p1_0.pdb"))
+    assert os.path.exists(str(tmp_path / "out" / "motif=p1" / "motif_pdbs" / "p1_0.pdb"))
+
+
+def test_sample_scaffold_cli_missing_dir(release_dir, tmp_path):
+    from genie2_tpu.cli.sample_scaffold import run_tasks
+
+    args = argparse.Namespace(
+        name="vcli", epoch=1, rootdir=release_dir, scale=0.4,
+        outdir=str(tmp_path / "out"), strength=0, num_samples=1, batch_size=1,
+        motif_name=None, datadir=str(tmp_path / "empty"), seed=0, num_devices=-1,
+    )
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError):
+        run_tasks(args)
