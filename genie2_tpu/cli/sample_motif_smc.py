@@ -13,11 +13,14 @@ import argparse
 
 
 def run(args):
+    from genie2_tpu.parallel import mesh_from_arg
     from genie2_tpu.sampling import SMCSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
     model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
-    sampler = SMCSampler(model, params, config)
+    sampler = SMCSampler(
+        model, params, config, mesh=mesh_from_arg(args.num_devices)
+    )
     sampler.max_offsets = args.max_offsets
     if args.dump_trajectory_every:
         sampler.dump_trajectory_every = args.dump_trajectory_every
@@ -44,7 +47,7 @@ def run(args):
     )
 
 
-if __name__ == "__main__":
+def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--name", type=str, required=True, help="Model name")
     parser.add_argument("--epoch", type=int, required=True, help="Model epoch")
@@ -61,4 +64,11 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dump_trajectory_every", type=int, default=0,
                         help="Dump x0/xt PDB snapshots every K steps (0 = off)")
+    parser.add_argument("--num_devices", type=int, default=-1,
+                        help="Data-mesh size to shard the particle axis over "
+                             "(-1 = all devices, 1 = no sharding)")
     run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -14,11 +14,12 @@ import os
 
 
 def run_tasks(args):
+    from genie2_tpu.parallel import mesh_from_arg
     from genie2_tpu.sampling import ScaffoldSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
     model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
-    sampler = ScaffoldSampler(model, params, config)
+    sampler = ScaffoldSampler(model, params, config, mesh=mesh_from_arg(args.num_devices))
 
     paths = sorted(glob.glob(os.path.join(args.datadir, "*.pdb")))
     if args.motif_name is not None:
@@ -49,7 +50,7 @@ def run_tasks(args):
         print(f"motif {motif_name}: {args.num_samples} samples done", flush=True)
 
 
-if __name__ == "__main__":
+def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--name", type=str, required=True, help="Model name")
     parser.add_argument("--epoch", type=int, required=True, help="Model epoch")
@@ -63,5 +64,11 @@ if __name__ == "__main__":
     parser.add_argument("--motif_name", type=str, default=None)
     parser.add_argument("--datadir", type=str, default="data/design25")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--num_devices", type=int, default=-1)
+    parser.add_argument("--num_devices", type=int, default=-1,
+                        help="Data-mesh size to shard sample batches over "
+                             "(-1 = all devices, 1 = no sharding)")
     run_tasks(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

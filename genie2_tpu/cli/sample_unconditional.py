@@ -3,9 +3,11 @@
 Counterpart of /root/reference/genie/sample_unconditional.py (same flags,
 same output layout `{outdir}/pdbs/{length}_{offset+i}.pdb`). The reference
 fans tasks out one-OS-process-per-GPU (utils/multiprocessor.py); here a
-single process drives all devices — lengths are iterated max->min
-(shuffled unless --sequential_order, matching README.md:90) and each batch
-of samples is sharded across the mesh data axis.
+single process drives all devices: --num_devices builds a 1-D data mesh,
+params are replicated, and each batch of samples is sharded across the
+mesh data axis. Per-sample RNG makes sharded outputs bit-identical to
+single-device outputs (tests/test_cli.py). Lengths are iterated max->min
+(shuffled unless --sequential_order, matching README.md:90).
 """
 
 from __future__ import annotations
@@ -16,13 +18,13 @@ import random
 import jax
 
 
-def run_packed(args, model, params, config):
+def run_packed(args, model, params, config, mesh=None):
     """--pack: fill every batch with samples of (possibly) different target
     lengths grouped by padding bucket — no ragged batches at sweep edges."""
     from genie2_tpu.sampling import PackedUnconditionalSampler
     from genie2_tpu.sampling.base import bucket_length
 
-    sampler = PackedUnconditionalSampler(model, params, config)
+    sampler = PackedUnconditionalSampler(model, params, config, mesh=mesh)
     tasks = [
         (length, i)
         for length in range(args.max_length, args.min_length - 1, -args.length_step)
@@ -48,13 +50,15 @@ def run_packed(args, model, params, config):
 
 
 def run_tasks(args):
+    from genie2_tpu.parallel import mesh_from_arg
     from genie2_tpu.sampling import UnconditionalSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
     model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    mesh = mesh_from_arg(args.num_devices)
     if args.pack:
-        return run_packed(args, model, params, config)
-    sampler = UnconditionalSampler(model, params, config)
+        return run_packed(args, model, params, config, mesh=mesh)
+    sampler = UnconditionalSampler(model, params, config, mesh=mesh)
 
     lengths = list(range(args.max_length, args.min_length - 1, -args.length_step))
     if not args.sequential_order:
@@ -82,7 +86,7 @@ def run_tasks(args):
         print(f"length {length}: {args.num_samples} samples done", flush=True)
 
 
-if __name__ == "__main__":
+def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--name", type=str, required=True, help="Model name")
     parser.add_argument("--epoch", type=int, required=True, help="Model epoch")
@@ -96,9 +100,14 @@ if __name__ == "__main__":
     parser.add_argument("--length_step", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num_devices", type=int, default=-1,
-                        help="Mesh size (-1 = all; kept for CLI parity)")
+                        help="Data-mesh size to shard sample batches over "
+                             "(-1 = all devices, 1 = no sharding)")
     parser.add_argument("--sequential_order", action="store_true",
                         help="Run in decreasing order of length")
     parser.add_argument("--pack", action="store_true",
                         help="Pack mixed lengths into full bucket-grouped batches")
     run_tasks(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

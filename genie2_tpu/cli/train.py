@@ -31,7 +31,7 @@ def main(args):
     config = Config(args.config)
     name = config.io["name"] or "run"
 
-    train_names, _ = setup_split(
+    train_names, val_names = setup_split(
         rootdir=config.io["rootdir"],
         name=name,
         datadir=config.io["datadir"],
@@ -41,38 +41,61 @@ def main(args):
         validation_split=config.io["validation_split"],
         seed=config.training["seed"],
     )
-    filepaths = [
-        p
-        for p in (resolve_filepath(config.io["datadir"], n) for n in train_names)
-        if p is not None
-    ]
-    if args.test:
-        filepaths = filepaths[:16]
 
-    dataset = StructureDataset(
-        filepaths,
-        max_n_res=config.io["max_n_res"],
-        max_n_chain=config.io["max_n_chain"],
-        motif=MotifAugmentConfig.from_config(config),
-        cache_path=os.path.join(config.io["rootdir"], name, "parsed_cache.npz"),
+    def build_dataset(names, cache_name, limit=None):
+        filepaths = [
+            p
+            for p in (resolve_filepath(config.io["datadir"], n) for n in names)
+            if p is not None
+        ]
+        if limit:
+            filepaths = filepaths[:limit]
+        if not filepaths:
+            return None
+        return StructureDataset(
+            filepaths,
+            max_n_res=config.io["max_n_res"],
+            max_n_chain=config.io["max_n_chain"],
+            motif=MotifAugmentConfig.from_config(config),
+            cache_path=os.path.join(config.io["rootdir"], name, cache_name),
+        )
+
+    limit = 16 if args.test else None
+    dataset = build_dataset(train_names, "parsed_cache.npz", limit)
+    val_dataset = build_dataset(val_names or [], "parsed_cache_val.npz", limit)
+    print(
+        f"dataset: {len(dataset)} train / "
+        f"{len(val_dataset) if val_dataset else 0} val structures on "
+        f"{len(jax.devices())} device(s)"
     )
-    print(f"dataset: {len(dataset)} structures on {len(jax.devices())} device(s)")
 
-    trainer = Trainer(config)
+    trainer = Trainer(config, resume=args.resume)
     # Persist the configuration next to the checkpoints, as the reference
     # does (re-read at inference; model_io.py:49-62).
     shutil.copyfile(
         args.config, os.path.join(config.io["rootdir"], name, "configuration")
     )
-    trainer.fit(dataset)
+    trainer.fit(
+        dataset,
+        resume=args.resume,
+        val_dataset=val_dataset,
+        save_state_every_n_step=config.training["save_state_every_n_step"],
+    )
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True,
                         help="Path for configuration file")
     parser.add_argument("-t", "--test", action="store_true", default=False,
                         help="Enable test mode (16-structure subset)")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="Continue from the latest version's resume_state "
+                             "(step-granular; reproduces the uninterrupted run)")
     parser.add_argument("--distributed", action="store_true", default=False,
                         help="Initialize jax.distributed (multi-host)")
     main(parser.parse_args())
+
+
+if __name__ == "__main__":
+    cli()

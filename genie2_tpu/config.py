@@ -123,6 +123,10 @@ class Config:
             "condition_loss_weight": int(c.get("conditionLossWeight", 1)),
             # Weight EMA decay (0 = off; no reference counterpart).
             "ema_decay": float(c.get("emaDecay", 0)),
+            # Mid-epoch resume-state cadence in optimizer steps (0 = only at
+            # the per-epoch checkpoint cadence; no reference counterpart —
+            # the reference loses everything since the last epoch boundary).
+            "save_state_every_n_step": int(c.get("saveStateEverySteps", 0)),
         }
         self.optimization = {
             "lr": float(c.get("learningRate", 1e-4)),

@@ -20,7 +20,7 @@ import numpy as np
 
 from genie2_tpu.features.pdb import parse_pdb as parse_pdb_python
 
-_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
 _LIB_PATH = os.path.join(_CSRC, "libpdbparser.so")
 _SRC_PATH = os.path.join(_CSRC, "pdb_parser.cpp")
 

@@ -1,6 +1,7 @@
 from genie2_tpu.parallel.mesh import (
     batch_sharding,
     create_mesh,
+    mesh_from_arg,
     replicate,
     replicated,
     shard_batch,
@@ -9,6 +10,7 @@ from genie2_tpu.parallel.mesh import (
 __all__ = [
     "batch_sharding",
     "create_mesh",
+    "mesh_from_arg",
     "replicate",
     "replicated",
     "shard_batch",

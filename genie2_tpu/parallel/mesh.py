@@ -32,6 +32,17 @@ def create_mesh(n_data: int = -1, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices[:n_data]), ("data",))
 
 
+def mesh_from_arg(num_devices: int = -1) -> Optional[Mesh]:
+    """Resolve a CLI --num_devices flag into a mesh (None = single device,
+    no sharding). -1 means all available devices."""
+    n = len(jax.devices()) if num_devices == -1 else num_devices
+    if n <= 1:
+        return None
+    if n > len(jax.devices()):
+        raise ValueError(f"--num_devices {n} > available {len(jax.devices())}")
+    return create_mesh(n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -37,6 +37,7 @@ class BaseSampler(ABC):
         config,
         bucket: int = 32,
         compute_dtype: Optional[str] = None,
+        mesh=None,
     ):
         from genie2_tpu.nn.policy import cast_floating, make_apply_fn
 
@@ -52,6 +53,16 @@ class BaseSampler(ABC):
             self.params = cast_floating(params, jnp.bfloat16)
         else:
             self.params = params
+        # Multi-device: params replicated over the mesh, sample batches
+        # sharded over the 'data' axis (replaces the reference's
+        # process-per-GPU fan-out, multiprocessor.py:59-100). Per-sample RNG
+        # in the reverse scan makes sharded outputs bit-identical to
+        # single-device outputs (tests/test_cli.py).
+        self.mesh = mesh
+        if mesh is not None:
+            from genie2_tpu.parallel import replicate
+
+            self.params = replicate(self.params, mesh)
         self.apply_fn = make_apply_fn(model, self.compute_dtype, cast_params=False)
         self._static_bias_fn = self._build_static_bias_fn()
         self.required = ["scale", "outdir", "num_samples", "prefix", "offset"]
@@ -129,12 +140,20 @@ class BaseSampler(ABC):
         self.on_sample_end(params, list_np_features)
         return list_np_features
 
+    def sample_ids(self, params: Dict[str, Any], n: int) -> np.ndarray:
+        """Global per-sample RNG stream ids: offset + position. A sample's
+        trajectory depends only on (seed, its id, padded length) — not on
+        batch size, packing, or device count."""
+        return int(params["offset"]) + np.arange(n, dtype=np.int32)
+
     def _sample(self, params: Dict[str, Any], key: Optional[jax.Array] = None):
         if key is None:
-            key = jax.random.PRNGKey(int(params.get("seed", 0)) + int(params["offset"]))
+            key = jax.random.PRNGKey(int(params.get("seed", 0)))
 
         host_features = self.create_np_features_batch(params)
         batch = batchify([dict(f) for f in host_features])
+        n_real = batch["aatype"].shape[0]
+        ids = self.sample_ids(params, n_real)
 
         # Pad the residue axis to a bucket; padded positions are masked and
         # provably do not affect real residues (tests/test_denoiser.py).
@@ -150,7 +169,28 @@ class BaseSampler(ABC):
                         v, [(0, 0), (0, pad)] + [(0, 0)] * (v.ndim - 2)
                     )
 
-        features = to_device(batch)
+        if self.mesh is not None:
+            from genie2_tpu.parallel import shard_batch
+
+            # Pad the batch axis to a mesh multiple by repeating row 0 with
+            # throwaway RNG ids; per-sample RNG makes the dummies inert and
+            # they are sliced off below.
+            n_dev = self.mesh.devices.size
+            n_total = -(-n_real // n_dev) * n_dev
+            if n_total != n_real:
+                reps = n_total - n_real
+                for k, v in batch.items():
+                    batch[k] = np.concatenate([v, np.repeat(v[:1], reps, axis=0)])
+                ids = np.concatenate([ids, -np.arange(1, reps + 1, dtype=np.int32)])
+            features = shard_batch(to_device(batch), self.mesh)
+            ids = jax.device_put(
+                jnp.asarray(ids), jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec("data"))
+            )
+        else:
+            features = to_device(batch)
+            ids = jnp.asarray(ids)
+
         features["static_pair_bias"] = self._static_bias_fn(self.params, features)
         trans = ancestral_sample(
             self.apply_fn,
@@ -160,10 +200,11 @@ class BaseSampler(ABC):
             key,
             jnp.float32(params["scale"]),
             self.schedule.n_timestep,
+            sample_ids=ids,
         )
 
         features = dict(features)
         features.pop("static_pair_bias", None)
         features["atom_positions"] = trans
         np_features = to_host(features)
-        return debatchify(np_features)
+        return debatchify(np_features)[:n_real]

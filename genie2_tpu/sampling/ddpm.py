@@ -7,8 +7,13 @@ trajectory runs as a small number of compiled scan segments (default 100
 steps per dispatch) with the carry resident on device — the host loop exists
 only to bound single-dispatch runtime (long-running executions can trip
 runtime watchdogs); it adds one dispatch per segment and no transfers.
-RNG is a per-step key split inside the scan body, so results are
-bit-identical for any segmentation.
+RNG is derived per (sample_id, step) via fold_in, so each sample's
+trajectory is a pure function of (seed, sample_id, padded length) —
+bit-identical for any scan segmentation, any batch composition (packing,
+batch-size padding), and any device mesh. This is what lets the CLIs shard
+a batch over an n-device mesh and still reproduce single-device outputs
+exactly (replacing the reference's process-per-GPU fan-out,
+multiprocessor.py:59-100).
 """
 
 from __future__ import annotations
@@ -54,29 +59,45 @@ def reverse_step(
     return next_trans
 
 
+def step_noise(
+    key: jax.Array, sample_ids: jnp.ndarray, t, n_res: int
+) -> jnp.ndarray:
+    """Per-sample noise for step t: normal(fold_in(fold_in(key, t), id)).
+    Each sample's noise stream depends only on (key, its id, t) — never on
+    which other samples share the batch or how the batch is sharded."""
+    step_key = jax.random.fold_in(key, t)
+
+    def one(sid):
+        return jax.random.normal(
+            jax.random.fold_in(step_key, sid), (n_res, 3), jnp.float32
+        )
+
+    return jax.vmap(one)(sample_ids)
+
+
 @partial(jax.jit, static_argnames=("apply_fn", "record"))
 def _scan_segment(
     apply_fn: Callable,
     params,
     schedule: Schedule,
     features: Dict[str, Any],
-    carry: Tuple[jnp.ndarray, jax.Array],
+    trans: jnp.ndarray,
+    key: jax.Array,
+    sample_ids: jnp.ndarray,
     steps: jnp.ndarray,
     scale: jnp.ndarray,
     record: bool = False,
 ):
-    shape = carry[0].shape
+    n_res = trans.shape[1]
 
-    def body(c, t):
-        trans, key = c
-        key, noise_key = jax.random.split(key)
-        noise = jax.random.normal(noise_key, shape, dtype=jnp.float32)
+    def body(trans, t):
+        noise = step_noise(key, sample_ids, t, n_res)
         next_trans = reverse_step(
             apply_fn, params, schedule, features, trans, t, noise, scale
         )
-        return (next_trans, key), (next_trans if record else None)
+        return next_trans, (next_trans if record else None)
 
-    return jax.lax.scan(body, carry, steps)
+    return jax.lax.scan(body, trans, steps)
 
 
 def _segments(n_timestep: int, steps_per_dispatch: Optional[int]):
@@ -87,10 +108,19 @@ def _segments(n_timestep: int, steps_per_dispatch: Optional[int]):
     return [steps[i : i + k] for i in range(0, n_timestep, k)]
 
 
-def init_translations(features: Dict[str, Any], key: jax.Array) -> jnp.ndarray:
+def default_sample_ids(features: Dict[str, Any]) -> jnp.ndarray:
+    return jnp.arange(features["residue_mask"].shape[0], dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def init_translations(
+    features: Dict[str, Any], key: jax.Array, sample_ids: jnp.ndarray
+) -> jnp.ndarray:
+    """x_T ~ N(0, I), per-sample stream (step index 0 is reserved for the
+    init draw; reverse steps use t in 1..T)."""
     mask = features["residue_mask"].astype(jnp.float32)[..., None]
-    shape = (*features["residue_mask"].shape, 3)
-    return jax.random.normal(key, shape, dtype=jnp.float32) * mask
+    n_res = features["residue_mask"].shape[1]
+    return step_noise(key, sample_ids, 0, n_res) * mask
 
 
 def ancestral_sample(
@@ -102,17 +132,21 @@ def ancestral_sample(
     scale: jnp.ndarray,
     n_timestep: int,
     steps_per_dispatch: Optional[int] = DEFAULT_STEPS_PER_DISPATCH,
+    sample_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Run the full reverse trajectory from x_T ~ N(0, I); returns final
     translations [B, N, 3]. `scale` is the noise-scale knob gamma
-    (base.py:271) and may be a traced scalar."""
-    key, init_key = jax.random.split(key)
-    carry = (init_translations(features, init_key), key)
+    (base.py:271) and may be a traced scalar. `sample_ids` (default
+    arange(B)) name each sample's independent noise stream."""
+    if sample_ids is None:
+        sample_ids = default_sample_ids(features)
+    trans = init_translations(features, key, sample_ids)
     for seg in _segments(n_timestep, steps_per_dispatch):
-        carry, _ = _scan_segment(
-            apply_fn, params, schedule, features, carry, jnp.asarray(seg), scale
+        trans, _ = _scan_segment(
+            apply_fn, params, schedule, features, trans, key, sample_ids,
+            jnp.asarray(seg), scale,
         )
-    return carry[0]
+    return trans
 
 
 def ancestral_sample_with_trajectory(
@@ -125,25 +159,27 @@ def ancestral_sample_with_trajectory(
     n_timestep: int,
     record_every: int = 50,
     steps_per_dispatch: Optional[int] = DEFAULT_STEPS_PER_DISPATCH,
+    sample_ids: Optional[jnp.ndarray] = None,
 ):
     """Like ancestral_sample but also returns x_t snapshots every
     `record_every` steps (the reference's trajectory-dump capability,
     smc_sampler_new_new.py:802-812, recovered from scan outputs instead of
     per-step host writes). Returns (final, snapshots [K, B, N, 3], steps)."""
-    key, init_key = jax.random.split(key)
-    carry = (init_translations(features, init_key), key)
+    if sample_ids is None:
+        sample_ids = default_sample_ids(features)
+    trans = init_translations(features, key, sample_ids)
     snaps, snap_steps = [], []
     for seg in _segments(n_timestep, steps_per_dispatch):
-        carry, traj = _scan_segment(
-            apply_fn, params, schedule, features, carry, jnp.asarray(seg), scale,
-            record=True,
+        trans, traj = _scan_segment(
+            apply_fn, params, schedule, features, trans, key, sample_ids,
+            jnp.asarray(seg), scale, record=True,
         )
         keep = seg % record_every == 0
         if keep.any():
             snaps.append(np.asarray(traj[keep]))
             snap_steps.extend(seg[keep].tolist())
     snapshots = np.concatenate(snaps, axis=0) if snaps else np.zeros((0,))
-    return carry[0], snapshots, snap_steps
+    return trans, snapshots, snap_steps
 
 
 @partial(jax.jit, static_argnames=("apply_fn",))

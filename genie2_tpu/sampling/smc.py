@@ -308,6 +308,21 @@ class SMCSampler(BaseSampler):
             self.create_np_features(params) for _ in range(params["num_samples"])
         ]
         features = to_device(batchify([dict(f) for f in host_features]))
+        # Particles interact through resampling, so the particle axis is
+        # sharded over the mesh (XLA inserts the gather/softmax collectives)
+        # rather than padded; values are identical to single-device.
+        if self.mesh is not None:
+            n_particles = params["num_samples"]
+            if n_particles % self.mesh.devices.size == 0:
+                from genie2_tpu.parallel import shard_batch
+
+                features = shard_batch(features, self.mesh)
+            else:
+                print(
+                    f"[smc] num_particles={n_particles} not divisible by "
+                    f"mesh size {self.mesh.devices.size}; running unsharded",
+                    flush=True,
+                )
         features["static_pair_bias"] = self._static_bias_fn(self.params, features)
 
         trans, final_score, trace, snapshots = tds_sample(

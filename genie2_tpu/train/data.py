@@ -211,16 +211,28 @@ class StructureDataset:
         return pad_features(dict(features), self.max_n_chain, self.max_n_res)
 
     def epoch(
-        self, batch_size: int, rng: np.random.Generator, drop_last: bool = True
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        drop_last: bool = True,
+        start_batch: int = 0,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Shuffled batches of stacked feature dicts; incomplete trailing
-        batches are dropped by default to keep shapes static."""
+        batches are dropped by default to keep shapes static.
+
+        Each batch gets a child generator seeded from the master rng, so
+        `start_batch` can skip ahead (mid-epoch resume) while reproducing
+        exactly the batches an uninterrupted epoch would have produced."""
         order = rng.permutation(len(self._cache))
-        for start in range(0, len(order), batch_size):
+        for b, start in enumerate(range(0, len(order), batch_size)):
             idx = order[start : start + batch_size]
             if drop_last and len(idx) < batch_size:
                 return
-            items = [self.get(int(i), rng) for i in idx]
+            seed = rng.integers(2**63)  # always drawn, even when skipping
+            if b < start_batch:
+                continue
+            batch_rng = np.random.default_rng(seed)
+            items = [self.get(int(i), batch_rng) for i in idx]
             yield {k: np.stack([it[k] for it in items], axis=0) for k in items[0]}
 
 

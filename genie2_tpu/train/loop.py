@@ -60,13 +60,22 @@ class MetricsLogger:
         self._set.finish()
 
 
-def next_version(basedir: str) -> int:
-    versions = [
+def _versions(basedir: str):
+    return [
         int(d.split("_")[-1])
         for d in os.listdir(basedir)
         if d.startswith("version_") and d.split("_")[-1].isdigit()
     ] if os.path.isdir(basedir) else []
+
+
+def next_version(basedir: str) -> int:
+    versions = _versions(basedir)
     return max(versions) + 1 if versions else 0
+
+
+def latest_version(basedir: str) -> Optional[int]:
+    versions = _versions(basedir)
+    return max(versions) if versions else None
 
 
 class Trainer:
@@ -78,6 +87,7 @@ class Trainer:
         model: Optional[Denoiser] = None,
         use_mesh: bool = True,
         version: Optional[int] = None,
+        resume: bool = False,
     ):
         self.config = config
         self.model = model or Denoiser.from_config(config)
@@ -88,7 +98,14 @@ class Trainer:
 
         name = config.io["name"] or "run"
         basedir = os.path.join(config.io["rootdir"], name)
-        self.version = next_version(basedir) if version is None else version
+        if version is None:
+            # Resuming continues the latest existing version (the
+            # reference's load_model picks max version_*, model_io.py:79-137);
+            # a fresh run opens the next one.
+            version = latest_version(basedir) if resume else None
+            if version is None:
+                version = next_version(basedir)
+        self.version = version
         self.workdir = os.path.join(basedir, f"version_{self.version}")
         self.ckpt_dir = os.path.join(self.workdir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
@@ -123,19 +140,22 @@ class Trainer:
         return path
 
     # -------------------------------------------------------------- #
-    # Full-state checkpointing (params + optimizer + step + data key):
-    # preemption-safe resume, which the reference lacks entirely
-    # (SURVEY.md §5 checkpoint/resume).
+    # Full-state checkpointing (params + optimizer + position in the
+    # data order): preemption-safe, STEP-granular resume, which the
+    # reference lacks entirely (SURVEY.md §5 checkpoint/resume). RNG
+    # needs no saving: every key is a pure fold_in of
+    # (seed, epoch, step-in-epoch), and the data order is a pure
+    # function of (seed, epoch, batch index) — see fit().
     # -------------------------------------------------------------- #
 
-    def save_state(self, key, epoch: int):
+    def save_state(self, epoch: int, step_in_epoch: int = 0):
         path = os.path.join(self.ckpt_dir, "resume_state")
         blob = {
             "params": jax.device_get(self.state.params),
             "opt_state": jax.device_get(self.state.opt_state),
             "step": int(self.state.step),
             "epoch": epoch,
-            "key": jax.device_get(key),
+            "step_in_epoch": step_in_epoch,
         }
         if self.state.ema is not None:
             blob["ema"] = jax.device_get(self.state.ema)
@@ -143,8 +163,8 @@ class Trainer:
         return path
 
     def restore_state(self):
-        """Restore a resume_state checkpoint if present; returns (key,
-        start_epoch) or None."""
+        """Restore a resume_state checkpoint if present; returns
+        (start_epoch, start_step_in_epoch) or None."""
         path = os.path.join(self.ckpt_dir, "resume_state")
         if not os.path.isdir(path):
             return None
@@ -153,7 +173,7 @@ class Trainer:
             "opt_state": jax.device_get(self.state.opt_state),
             "step": 0,
             "epoch": 0,
-            "key": jax.device_get(jax.random.PRNGKey(0)),
+            "step_in_epoch": 0,
         }
         if self.state.ema is not None:
             target["ema"] = jax.device_get(self.state.ema)
@@ -165,11 +185,11 @@ class Trainer:
             ema=blob.get("ema"),
         )
         self.state = replicate(state, self.mesh) if self.mesh is not None else jax.tree_util.tree_map(jnp.asarray, state)
-        return jnp.asarray(blob["key"]), int(blob["epoch"])
+        return int(blob["epoch"]), int(blob.get("step_in_epoch", 0))
 
-    def evaluate(self, dataset, batch_size: int, key, max_batches: int = 16):
-        """Mean weighted loss over a validation dataset (the reference has
-        no validation dataloader at all, data_module.py)."""
+    def _make_eval_step(self):
+        """Built once, cached on the instance — a fresh jit per evaluate()
+        call would recompile every validation epoch."""
         from genie2_tpu.diffusion import q_sample
         from genie2_tpu.geometry import Rigid, frenet_frames
         from genie2_tpu.train.loss import genie_loss
@@ -190,13 +210,24 @@ class Trainer:
             loss, _ = genie_loss(out["z"], z, features, w)
             return loss
 
+        return eval_step
+
+    def evaluate(self, dataset, batch_size: int, key, max_batches: int = 16):
+        """Mean weighted loss over a validation dataset (the reference has
+        no validation dataloader at all, data_module.py)."""
+        if getattr(self, "_eval_fn", None) is None:
+            self._eval_fn = self._make_eval_step()
+
+        # A validation set smaller than the train batch would otherwise be
+        # dropped entirely by drop_last and report nan.
+        batch_size = max(1, min(batch_size, len(dataset)))
         rng = np.random.default_rng(0)
         losses = []
         for i, batch in enumerate(dataset.epoch(batch_size, rng, drop_last=True)):
             if i >= max_batches:
                 break
             key, sub = jax.random.split(key)
-            losses.append(float(eval_step(self.state.params, to_device(batch), sub)))
+            losses.append(float(self._eval_fn(self.state.params, to_device(batch), sub)))
         return float(np.mean(losses)) if losses else float("nan")
 
     def fit(
@@ -205,24 +236,43 @@ class Trainer:
         n_epoch: Optional[int] = None,
         resume: bool = False,
         val_dataset: Optional[StructureDataset] = None,
+        save_state_every_n_step: int = 0,
     ):
+        """Epoch loop. All randomness is a pure function of position:
+
+          * step RNG     = fold_in(fold_in(PRNGKey(seed), epoch), batch_idx)
+          * data order   = default_rng([seed, epoch]) + per-batch child seeds
+          * val RNG      = fold_in(epoch_key, 2**30)
+
+        so a run killed anywhere and resumed from resume_state reproduces
+        the uninterrupted loss curve exactly (tests/test_train.py).
+        `save_state_every_n_step` > 0 adds mid-epoch resume points on top of
+        the per-checkpoint cadence.
+        """
         cfg = self.config.training
         n_epoch = n_epoch if n_epoch is not None else cfg["n_epoch"]
         batch_size = cfg["batch_size"]
-        key = jax.random.PRNGKey(cfg["seed"])
-        start_epoch = 0
+        base_key = jax.random.PRNGKey(cfg["seed"])
+        start_epoch, start_batch = 0, 0
         if resume:
             restored = self.restore_state()
             if restored is not None:
-                key, start_epoch = restored
-                print(f"[resume] epoch {start_epoch}, step {int(self.state.step)}", flush=True)
-        data_rng = np.random.default_rng(cfg["seed"] + start_epoch)
+                start_epoch, start_batch = restored
+                print(
+                    f"[resume] epoch {start_epoch}, batch {start_batch}, "
+                    f"step {int(self.state.step)}",
+                    flush=True,
+                )
 
         residues_done = 0
         t0 = time.perf_counter()
         for epoch in range(start_epoch, n_epoch):
-            for batch in dataset.epoch(batch_size, data_rng):
-                key, step_key = jax.random.split(key)
+            epoch_key = jax.random.fold_in(base_key, epoch)
+            data_rng = np.random.default_rng([cfg["seed"], epoch])
+            skip = start_batch if epoch == start_epoch else 0
+            batches = dataset.epoch(batch_size, data_rng, start_batch=skip)
+            for b, batch in enumerate(batches, start=skip):
+                step_key = jax.random.fold_in(epoch_key, b)
                 device_batch = (
                     shard_batch(batch, self.mesh)
                     if self.mesh is not None
@@ -234,12 +284,14 @@ class Trainer:
                 metrics = dict(metrics)
                 metrics["residues_per_s"] = residues_done / (time.perf_counter() - t0)
                 self.logger.log(step, metrics)
+                if save_state_every_n_step and (b + 1) % save_state_every_n_step == 0:
+                    self.save_state(epoch, b + 1)
             if val_dataset is not None:
-                key, val_key = jax.random.split(key)
+                val_key = jax.random.fold_in(epoch_key, 2**30)
                 val_loss = self.evaluate(val_dataset, batch_size, val_key)
                 self.logger.log(int(self.state.step), {"val_loss": val_loss}, prefix="val")
             if (epoch + 1) % cfg["checkpoint_every_n_epoch"] == 0 or epoch == n_epoch - 1:
                 path = self.save_checkpoint(epoch)
-                self.save_state(key, epoch + 1)
+                self.save_state(epoch + 1, 0)
                 print(f"[checkpoint] epoch {epoch} -> {path}", flush=True)
         return self.state

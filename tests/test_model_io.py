@@ -160,12 +160,14 @@ class TestTrainer:
         val = trainer.evaluate(ds, batch_size=4, key=jax.random.PRNGKey(0), max_batches=2)
         assert np.isfinite(val)
 
-        # Resume restores full state and continues.
-        trainer2 = Trainer(config, use_mesh=False, version=trainer.version)
+        # Resume restores full state and continues (resume=True picks the
+        # latest version automatically, like the reference's load_model).
+        trainer2 = Trainer(config, use_mesh=False, resume=True)
+        assert trainer2.version == trainer.version
         restored = trainer2.restore_state()
         assert restored is not None
-        _, start_epoch = restored
-        assert start_epoch == 2
+        start_epoch, start_batch = restored
+        assert (start_epoch, start_batch) == (2, 0)
         assert int(trainer2.state.step) == 4
         state2 = trainer2.fit(ds, n_epoch=3, resume=True)
         assert int(state2.step) == 6  # one more epoch of 2 batches

@@ -246,3 +246,76 @@ class TestTrainStep:
         l8 = jax.tree_util.tree_leaves(state8.params)
         for a, b in zip(l1, l8):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestMidEpochResume:
+    def test_kill_and_resume_reproduces_uninterrupted_run(self, tmp_path):
+        """Step-granular resume (VERDICT Missing #4 / Weak #6): kill the run
+        mid-epoch, resume from resume_state, and both the loss sequence and
+        the final params must match the uninterrupted run exactly."""
+        import json
+        import os
+
+        from genie2_tpu.train.loop import Trainer
+
+        def make_config(rootdir):
+            config = tiny_config()
+            config.io["rootdir"] = rootdir
+            config.io["name"] = "kr"
+            config.training["n_epoch"] = 2
+            config.training["batch_size"] = 4
+            config.training["checkpoint_every_n_epoch"] = 10
+            config.training["log_every_n_step"] = 1
+            return config
+
+        ds = synthetic_dataset(8, max_n_res=24)  # 2 batches/epoch -> 4 steps
+
+        def losses_of(workdir):
+            out = {}
+            with open(os.path.join(workdir, "metrics.jsonl")) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("prefix", "train") == "train":
+                        out[rec["step"]] = rec["weighted_loss"]
+            return out
+
+        # Uninterrupted run.
+        t_a = Trainer(make_config(str(tmp_path / "a")), use_mesh=False)
+        state_a = t_a.fit(ds)
+        losses_a = losses_of(t_a.workdir)
+        assert len(losses_a) == 4
+
+        # Killed run: raise out of the loop after 3 optimizer steps.
+        config_b = make_config(str(tmp_path / "b"))
+        t_b = Trainer(config_b, use_mesh=False)
+        real_step_fn = t_b._step_fn
+        calls = {"n": 0}
+
+        def killing_step(state, batch, key):
+            if calls["n"] == 3:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            return real_step_fn(state, batch, key)
+
+        t_b._step_fn = killing_step
+        with pytest.raises(KeyboardInterrupt):
+            t_b.fit(ds, save_state_every_n_step=1)
+        assert int(t_b.state.step) == 3
+
+        # Resume into the same version; finishes epoch 1 (batch idx 1).
+        t_c = Trainer(config_b, use_mesh=False, resume=True)
+        assert t_c.version == t_b.version
+        state_c = t_c.fit(ds, resume=True)
+        assert int(state_c.step) == 4
+
+        losses_b = losses_of(t_b.workdir)
+        losses_b.update(losses_of(t_c.workdir))
+        assert set(losses_b) == set(losses_a)
+        for step, loss in losses_a.items():
+            np.testing.assert_allclose(losses_b[step], loss, rtol=0, atol=0)
+
+        for x, y in zip(
+            jax.tree_util.tree_leaves(state_a.params),
+            jax.tree_util.tree_leaves(state_c.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
