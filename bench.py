@@ -46,7 +46,11 @@ def main():
     from genie2_tpu.nn.policy import make_apply_fn
 
     length = int(os.environ.get("BENCH_LENGTH", "256"))
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    # Batch 1 is the measured throughput point on this chip: the [N,N,128]
+    # pair activations of a single sample stay VMEM-resident across the
+    # stack, so per-sample step time is 1.54x better than batch 4
+    # (3.52 vs 5.43 ms/sample at L=256; see BENCH_NOTES.md round 2).
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     # bf16 is the production sampling mode (fp32 is the parity mode; see

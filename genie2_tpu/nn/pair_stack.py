@@ -23,42 +23,82 @@ from genie2_tpu.nn.primitives import Attention, Linear
 
 
 class TriangleMultiplicativeUpdate(nn.Module):
-    """AF2 Algorithms 11/12 (triangular_multiplicative_update.py:25-110)."""
+    """AF2 Algorithms 11/12 (triangular_multiplicative_update.py:25-110).
+
+    `use_pallas` routes the whole op through the fused channel-major Pallas
+    pipeline (ops/trimul_fused.py) instead of the jnp/XLA path; parameters
+    are identical either way (the fused path reads the same param tree)."""
 
     c_z: int
     c_hidden: int
     outgoing: bool = True
     use_pallas: bool = False
 
-    @nn.compact
-    def __call__(self, z, mask=None):
+    def setup(self):
+        self.layer_norm_in = nn.LayerNorm()
+        self.linear_a_p = Linear(self.c_hidden)
+        self.linear_a_g = Linear(self.c_hidden, init="gating")
+        self.linear_b_p = Linear(self.c_hidden)
+        self.linear_b_g = Linear(self.c_hidden, init="gating")
+        self.layer_norm_out = nn.LayerNorm()
+        self.linear_z = Linear(self.c_z, init="final")
+        self.linear_g = Linear(self.c_z, init="gating")
+
+    def _fused_weights(self):
+        def dense(mod):
+            p = mod.variables["params"]["Dense_0"]
+            return p["kernel"], p["bias"]
+
+        w = {}
+        w["ln_in_scale"] = self.layer_norm_in.variables["params"]["scale"]
+        w["ln_in_bias"] = self.layer_norm_in.variables["params"]["bias"]
+        w["ln_out_scale"] = self.layer_norm_out.variables["params"]["scale"]
+        w["ln_out_bias"] = self.layer_norm_out.variables["params"]["bias"]
+        w["w_ap"], w["b_ap"] = dense(self.linear_a_p)
+        w["w_ag"], w["b_ag"] = dense(self.linear_a_g)
+        w["w_bp"], w["b_bp"] = dense(self.linear_b_p)
+        w["w_bg"], w["b_bg"] = dense(self.linear_b_g)
+        w["w_z"], w["b_z"] = dense(self.linear_z)
+        w["w_g"], w["b_g"] = dense(self.linear_g)
+        return w
+
+    def __call__(self, z, mask=None, res_mask=None):
         if mask is None:
             mask = jnp.ones(z.shape[:-1], dtype=z.dtype)
-        mask = mask[..., None].astype(z.dtype)
 
-        z = nn.LayerNorm(name="layer_norm_in")(z)
+        if (
+            self.use_pallas
+            and not self.is_initializing()
+            and res_mask is not None
+            and z.shape[1] % 128 == 0  # kernel tiling constraint
+        ):
+            from genie2_tpu.ops.trimul_fused import trimul_fused
+
+            return trimul_fused(
+                z, res_mask.astype(z.dtype), self._fused_weights(),
+                outgoing=self.outgoing,
+            )
+
+        mask = mask[..., None].astype(z.dtype)
+        z = self.layer_norm_in(z)
         # NOTE: fusing the four gate projections into one [c_z, 4*c_hidden]
         # matmul was measured SLOWER on v5e (the wide intermediate
         # materializes; XLA fuses the sigmoid-gate epilogue better with
         # separate dots), so the reference's separate-linear structure stays.
-        a = Linear(self.c_hidden, name="linear_a_p")(z) * jax.nn.sigmoid(
-            Linear(self.c_hidden, init="gating", name="linear_a_g")(z)
-        )
+        a = self.linear_a_p(z) * jax.nn.sigmoid(self.linear_a_g(z))
         a = a * mask
-        b = Linear(self.c_hidden, name="linear_b_p")(z) * jax.nn.sigmoid(
-            Linear(self.c_hidden, init="gating", name="linear_b_g")(z)
-        )
+        b = self.linear_b_p(z) * jax.nn.sigmoid(self.linear_b_g(z))
         b = b * mask
 
-        from genie2_tpu.ops.triangle import triangle_multiply
+        from genie2_tpu.ops.triangle import triangle_multiply_reference
 
         # x[i, j, c] = sum_k a[i, k, c] b[j, k, c]   (outgoing)
         # x[i, j, c] = sum_k a[k, i, c] b[k, j, c]   (incoming)
-        x = triangle_multiply(a, b, outgoing=self.outgoing, use_pallas=self.use_pallas)
+        x = triangle_multiply_reference(a, b, outgoing=self.outgoing)
 
-        x = nn.LayerNorm(name="layer_norm_out")(x)
-        x = Linear(self.c_z, init="final", name="linear_z")(x)
-        g = jax.nn.sigmoid(Linear(self.c_z, init="gating", name="linear_g")(z))
+        x = self.layer_norm_out(x)
+        x = self.linear_z(x)
+        g = jax.nn.sigmoid(self.linear_g(z))
         return x * g
 
 
@@ -136,7 +176,7 @@ class PairTransformLayer(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, p, pair_mask, deterministic: bool = True):
+    def __call__(self, p, pair_mask, deterministic: bool = True, res_mask=None):
         # Row-wise dropout shares the mask along the i axis (dim -3);
         # column-wise along the j axis (dim -2) (dropout.py:23-77).
         drop_row = nn.Dropout(
@@ -151,13 +191,13 @@ class PairTransformLayer(nn.Module):
                 TriangleMultiplicativeUpdate(
                     self.c_p, self.c_hidden_mul, outgoing=True,
                     use_pallas=self.use_pallas, name="tri_mul_out",
-                )(p, pair_mask)
+                )(p, pair_mask, res_mask)
             )
             p = p + drop_row(
                 TriangleMultiplicativeUpdate(
                     self.c_p, self.c_hidden_mul, outgoing=False,
                     use_pallas=self.use_pallas, name="tri_mul_in",
-                )(p, pair_mask)
+                )(p, pair_mask, res_mask)
             )
         if self.include_tri_att:
             p = p + drop_row(
@@ -218,5 +258,5 @@ class PairTransformNet(nn.Module):
                 pair_transition_n=self.pair_transition_n,
                 use_pallas=self.use_pallas,
                 name=f"layer_{i}",
-            )(p, pair_mask, deterministic)
+            )(p, pair_mask, deterministic, mask)
         return p

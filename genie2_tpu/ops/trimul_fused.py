@@ -1,0 +1,303 @@
+"""Fused Pallas pipeline for the triangle multiplicative update.
+
+The reference op (triangular_multiplicative_update.py:25-128) is, per call:
+LN -> 4 gated projections -> masked per-channel contraction over the third
+node -> LN -> output projection * sigmoid gate. XLA executes this as a
+batched dot whose operands are HBM-transposed to channel-major and back
+(round-1 finding: the 10 contractions per denoiser step ran at 2.2x the
+memory roofline, 86% of sampling step time).
+
+This module splits the op into three Pallas kernels that keep ALL layouts
+channel-major between HBM round-trips, eliminating the transposes:
+
+  A. project_gated_cm   reads z [B,N,N,C] once, computes LN_in + the four
+                        gated projections on the MXU, and writes a, b
+                        directly channel-major [B,H,N,N] (the dot_general
+                        contracts z's lane axis, so the channel-major
+                        output layout is free - no transpose anywhere).
+  B. contract_cm_fullk  channel-blocked contraction with the full K axis
+                        resident in VMEM: reads a, b exactly once each.
+  C. epilogue_cm        reads x_cm + z once, applies LN_out + linear_z
+                        (folded into a single dot via the LN linearity:
+                        out = r*(x @ (scale*w)) - r*mu*u + v) and the
+                        sigmoid output gate (recomputing LN_in(z) on the
+                        fly), writing the result row-major for the residual.
+
+HBM traffic: 9 passes of B*N^2*C vs the unfused path's ~13 (and no
+VPU-transposed tiles, the round-1 "nlayout" failure mode). Numerics are
+bf16 with fp32 accumulation everywhere (dots via preferred_element_type,
+LN statistics in fp32).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+try:  # pragma: no cover - CPU test fallback handled by caller
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    _PALLAS_AVAILABLE = False
+
+_LN_EPS = 1e-6
+
+# CPU tests exercise the kernels through the Pallas interpreter
+# (GENIE2_PALLAS_INTERPRET=1); on TPU they compile via Mosaic.
+import os as _os
+
+_FORCE_INTERPRET = _os.environ.get("GENIE2_PALLAS_INTERPRET") == "1"
+
+
+def _ln_lane(x, scale, bias):
+    """LayerNorm over the last (lane) axis, fp32 statistics."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + _LN_EPS)
+    return xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------- #
+# Phase A: LN_in + gated projections, channel-major output
+# --------------------------------------------------------------------- #
+
+
+def _project_kernel(
+    z_ref, mask_ref,
+    lns_ref, lnb_ref, wap_ref, bap_ref, wag_ref, bag_ref,
+    wbp_ref, bbp_ref, wbg_ref, bbg_ref,
+    a_ref, b_ref,
+):
+    z = z_ref[0]  # [TI, N, C]
+    zn = _ln_lane(z, lns_ref[...], lnb_ref[...])  # fp32 [TI, N, C]
+    zn = zn.astype(z.dtype)
+    mask = mask_ref[0].astype(jnp.float32)  # [TI, N] pair-mask tile
+
+    TI, N = z.shape[0], z.shape[1]
+
+    def expand_bias(b_ref):
+        # Bias arrives lane-tiled [H, 128] (every lane equal). A direct
+        # [H]->[H,TI,N] broadcast is an unsupported Mosaic relayout
+        # (channel moves from lanes to the outer dim); building it from
+        # supported pieces: split -> sublane broadcast -> lane repeat.
+        b2 = b_ref[...].astype(jnp.float32)  # [H, 128]
+        b3 = jnp.broadcast_to(b2.reshape(b2.shape[0], 1, 128), (b2.shape[0], TI, 128))
+        if N > 128:
+            return pltpu.repeat(b3, N // 128, axis=2)
+        return b3[:, :, :N]
+
+    def gated(w_p, b_p, w_g, b_g):
+        # dot_general contracting the lane axis of zn against dim 0 of w
+        # yields [H, TI, N]: channel-major output with no transpose.
+        p = jax.lax.dot_general(
+            w_p, zn, (((0,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + expand_bias(b_p)
+        g = jax.lax.dot_general(
+            w_g, zn, (((0,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + expand_bias(b_g)
+        return p * jax.nn.sigmoid(g) * mask[None]
+
+    a_ref[0] = gated(wap_ref[...], bap_ref, wag_ref[...], bag_ref).astype(a_ref.dtype)
+    b_ref[0] = gated(wbp_ref[...], bbp_ref, wbg_ref[...], bbg_ref).astype(b_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def project_gated_cm(z, res_mask, weights: Dict, interpret: bool = False):
+    """z [B,N,N,C], res_mask [B,N] -> (a_cm, b_cm) each [B,H,N,N]."""
+    interpret = interpret or _FORCE_INTERPRET
+    B, N, _, C = z.shape
+    H = weights["w_ap"].shape[1]
+    TI = 16  # fp32 intermediates at TI=32 blow the 16MB scoped-VMEM budget
+    grid = (B, N // TI)
+    # [B, N, N] pair mask (0.5 MB bf16 at N=256 — negligible traffic, and
+    # sidesteps in-kernel dynamic sublane indexing of a packed mask).
+    pair_mask = (res_mask[:, :, None] * res_mask[:, None, :]).astype(z.dtype)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, H, TI, N), lambda b, i: (b, 0, i, 0))
+    call = pl.pallas_call(
+        _project_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TI, N, C), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, TI, N), lambda b, i: (b, i, 0)),
+        ] + [wspec] * 10,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, N, N), z.dtype),
+            jax.ShapeDtypeStruct((B, H, N, N), z.dtype),
+        ),
+        interpret=interpret,
+    )
+
+    def tile_bias(b):
+        return jnp.broadcast_to(b[:, None], (H, 128))
+
+    a_cm, b_cm = call(
+        z, pair_mask,
+        weights["ln_in_scale"], weights["ln_in_bias"],
+        weights["w_ap"], tile_bias(weights["b_ap"]),
+        weights["w_ag"], tile_bias(weights["b_ag"]),
+        weights["w_bp"], tile_bias(weights["b_bp"]),
+        weights["w_bg"], tile_bias(weights["b_bg"]),
+    )
+    return a_cm, b_cm
+
+
+# --------------------------------------------------------------------- #
+# Phase B: channel-blocked contraction, full K resident
+# --------------------------------------------------------------------- #
+
+
+def _contract_kernel_out(a_ref, b_ref, o_ref):
+    # out[c,i,j] = sum_k a[c,i,k] b[c,j,k]
+    o_ref[0] = jax.lax.dot_general(
+        a_ref[0], b_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _contract_kernel_in(a_ref, b_ref, o_ref):
+    # out[c,i,j] = sum_k a[c,k,i] b[c,k,j]
+    o_ref[0] = jax.lax.dot_general(
+        a_ref[0], b_ref[0], (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("outgoing", "interpret"))
+def contract_cm_fullk(a_cm, b_cm, outgoing: bool = True, interpret: bool = False):
+    """[B,H,N,N] x [B,H,N,N] -> [B,H,N,N], a and b each read exactly once."""
+    interpret = interpret or _FORCE_INTERPRET
+    B, H, N, _ = a_cm.shape
+    CB = 8
+    grid = (B, H // CB)
+    spec = pl.BlockSpec((1, CB, N, N), lambda b, c: (b, c, 0, 0))
+    return pl.pallas_call(
+        _contract_kernel_out if outgoing else _contract_kernel_in,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, N), a_cm.dtype),
+        interpret=interpret,
+    )(a_cm, b_cm)
+
+
+def _contract_kernel_km(a_ref, b_ref, o_ref):
+    # MXU-native orientation: out[c,i,j] = sum_k a[c,i,k] b[c,k,j]
+    o_ref[0] = jax.lax.dot_general(
+        a_ref[0], b_ref[0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def contract_cm_fullk_km(a_cm, b_km, interpret: bool = False):
+    """a [B,H,I,K] x b [B,H,K,J] -> [B,H,I,J] (rhs stored k-major)."""
+    B, H, N, _ = a_cm.shape
+    CB = 8
+    grid = (B, H // CB)
+    spec = pl.BlockSpec((1, CB, N, N), lambda b, c: (b, c, 0, 0))
+    return pl.pallas_call(
+        _contract_kernel_km,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, N), a_cm.dtype),
+        interpret=interpret,
+    )(a_cm, b_km)
+
+
+# --------------------------------------------------------------------- #
+# Phase C: LN_out + linear_z folded into one dot + sigmoid gate
+# --------------------------------------------------------------------- #
+
+
+def _epilogue_kernel(
+    x_ref, z_ref,
+    lnis_ref, lnib_ref, ws_ref, u_ref, vb_ref, wg_ref, bg_ref,
+    o_ref,
+):
+    x_raw = x_ref[0]  # [C, TI, N] channel-major
+    xf = x_raw.astype(jnp.float32)
+
+    # LN_out statistics over the channel axis via MXU-friendly reductions.
+    mu = jnp.mean(xf, axis=0)  # [TI, N]
+    var = jnp.mean(jnp.square(xf), axis=0) - jnp.square(mu)
+    r = jax.lax.rsqrt(var + _LN_EPS)  # [TI, N]
+
+    # out = r * (x . ws) - r*mu*u + (v + b_z), with ws = scale[:,None]*w_z,
+    # u = sum_c ws, v = t . w_z (precomputed by the caller).
+    main = jax.lax.dot_general(
+        x_raw, ws_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TI, N, D]
+    lin = (
+        r[..., None] * main
+        - (r * mu)[..., None] * u_ref[...].astype(jnp.float32)[None, None, :]
+        + vb_ref[...].astype(jnp.float32)[None, None, :]
+    )
+
+    # Output gate: sigmoid(linear_g(LN_in(z))), LN_in recomputed on the fly.
+    zn = _ln_lane(z_ref[0], lnis_ref[...], lnib_ref[...]).astype(z_ref.dtype)
+    g = jax.lax.dot_general(
+        zn, wg_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bg_ref[...].astype(jnp.float32)[None, None, :]
+    o_ref[0] = (lin * jax.nn.sigmoid(g)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def epilogue_cm(x_cm, z, weights: Dict, interpret: bool = False):
+    """x_cm [B,C,N,N] + z [B,N,N,C] -> gated output [B,N,N,C] (row-major)."""
+    interpret = interpret or _FORCE_INTERPRET
+    B, C, N, _ = x_cm.shape
+    D = weights["w_z"].shape[1]
+    TI = 16  # fp32 intermediates at TI=32 blow the 16MB scoped-VMEM budget
+    grid = (B, N // TI)
+
+    scale = weights["ln_out_scale"].astype(jnp.float32)
+    bias = weights["ln_out_bias"].astype(jnp.float32)
+    w_z = weights["w_z"].astype(jnp.float32)
+    ws = (scale[:, None] * w_z).astype(x_cm.dtype)  # [C, D]
+    u = jnp.sum(ws.astype(jnp.float32), axis=0)  # [D]
+    vb = bias @ w_z + weights["b_z"].astype(jnp.float32)  # [D]
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _epilogue_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, C, TI, N), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, TI, N, C), lambda b, i: (b, i, 0, 0)),
+        ] + [wspec] * 7,
+        out_specs=pl.BlockSpec((1, TI, N, D), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, N, D), z.dtype),
+        interpret=interpret,
+    )(
+        x_cm, z,
+        weights["ln_in_scale"], weights["ln_in_bias"],
+        ws, u.astype(jnp.float32), vb.astype(jnp.float32),
+        weights["w_g"], weights["b_g"],
+    )
+
+
+# --------------------------------------------------------------------- #
+# Full pipeline
+# --------------------------------------------------------------------- #
+
+
+def trimul_fused(z, res_mask, weights: Dict, outgoing: bool = True,
+                 interpret: bool = False):
+    """The full triangle multiplicative update, transposes eliminated.
+    z [B,N,N,C], res_mask [B,N] -> [B,N,N,C] (pre-residual output)."""
+    a_cm, b_cm = project_gated_cm(z, res_mask, weights, interpret=interpret)
+    x_cm = contract_cm_fullk(a_cm, b_cm, outgoing=outgoing, interpret=interpret)
+    return epilogue_cm(x_cm, z, weights, interpret=interpret)

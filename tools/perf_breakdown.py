@@ -64,7 +64,10 @@ def timed_scan(name, step_fn, init):
 
 
 def main():
-    config = Config(overrides={"maximumNumResidues": L})
+    overrides = {"maximumNumResidues": L}
+    if os.environ.get("USE_PALLAS") == "1":
+        overrides["usePallas"] = "True"
+    config = Config(overrides=overrides)
     model = Denoiser.from_config(config)
     feats = to_device(batchify([create_empty_features([L]) for _ in range(B)]))
     t_vec = jnp.full((B,), 500, jnp.int32)
@@ -152,6 +155,7 @@ def main():
         n_head_tri=config.model["n_head_tri"],
         tri_dropout=config.model["tri_dropout"],
         pair_transition_n=config.model["pair_transition_n"],
+        use_pallas=config.tpu.get("use_pallas", False),
     )
     ptn_params = jax.tree_util.tree_map(
         lambda x: x.astype(cast), {"params": p0["pair_transform_net"]}
