@@ -127,6 +127,11 @@ class Config:
             # the per-epoch checkpoint cadence; no reference counterpart —
             # the reference loses everything since the last epoch boundary).
             "save_state_every_n_step": int(c.get("saveStateEverySteps", 0)),
+            # Async input-pipeline buffer depth (batches computed + placed
+            # ahead of the device step on a background thread; 0 = fully
+            # synchronous). Counterpart of the reference's DataLoader
+            # workers (data_module.py:145-179).
+            "prefetch_depth": int(c.get("prefetchDepth", 2)),
         }
         self.optimization = {
             "lr": float(c.get("learningRate", 1e-4)),
@@ -140,6 +145,10 @@ class Config:
             "use_pallas": bool(c.get("usePallas", False)),
             # Data-parallel mesh axis size; -1 = all local devices.
             "mesh_data": int(c.get("meshData", -1)),
+            # Sequence-parallel mesh axis size (>1 shards the pair tensor's
+            # i-axis over a second 'seq' mesh axis — the long-context
+            # scaling story past N=256; SURVEY §5).
+            "mesh_seq": int(c.get("meshSeq", 1)),
             # Rematerialize the pair stack in backward (needed at N=256;
             # can be disabled for small models/tests).
             "remat": bool(c.get("remat", True)),

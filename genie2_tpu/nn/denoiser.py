@@ -58,10 +58,21 @@ class Denoiser(nn.Module):
 
     use_pallas: bool = False
     remat: bool = True
+    # Optional NamedSharding for residue-indexed activations (batch over
+    # 'data', first residue axis over 'seq'): sequence-sharding of the
+    # O(N^2) pair tensor over a 2-D mesh. None = unsharded (GSPMD still
+    # applies plain data parallelism from the input sharding). SURVEY §5
+    # long-context row; the reference has nothing comparable (its memory
+    # story is eval-time chunk_layer chunking, tensor_utils.py:109-213).
+    pair_sharding: Any = None
 
     @classmethod
-    def from_config(cls, config) -> "Denoiser":
-        """Build from a genie2_tpu.config.Config."""
+    def from_config(cls, config, mesh=None) -> "Denoiser":
+        """Build from a genie2_tpu.config.Config. Passing a mesh with a
+        'seq' axis (config.tpu['mesh_seq'] > 1) turns on sequence sharding
+        of the pair stack."""
+        from genie2_tpu.parallel import pair_sharding as _pair_sharding
+
         return cls(
             **config.model,
             n_timestep=config.diffusion["n_timestep"],
@@ -69,6 +80,7 @@ class Denoiser(nn.Module):
             max_n_chain=config.io["max_n_chain"],
             use_pallas=config.tpu.get("use_pallas", False),
             remat=config.tpu.get("remat", True),
+            pair_sharding=_pair_sharding(mesh),
         )
 
     @nn.compact
@@ -77,6 +89,8 @@ class Denoiser(nn.Module):
         deterministic: bool = True,
         static_pair_bias: jnp.ndarray = None,
     ) -> Dict[str, Any]:
+        from genie2_tpu.parallel import constrain
+
         trans_in = ts.trans
         # The caller's translation dtype selects the compute precision (the
         # bf16 policy passes bf16 frames); encodings are built in fp32 for
@@ -95,6 +109,7 @@ class Denoiser(nn.Module):
             max_n_chain=self.max_n_chain,
             name="single_feature_net",
         )(ts, timesteps, features).astype(compute_dtype)
+        s = constrain(s, self.pair_sharding)
 
         p = PairFeatureNet(
             c_s=self.c_s,
@@ -108,6 +123,7 @@ class Denoiser(nn.Module):
         )(s, ts, timesteps, features, static_bias=static_pair_bias).astype(
             compute_dtype
         )
+        p = constrain(p, self.pair_sharding)
 
         if self.n_pair_transform_layer > 0:
             p = PairTransformNet(
@@ -122,6 +138,7 @@ class Denoiser(nn.Module):
                 pair_transition_n=self.pair_transition_n,
                 use_pallas=self.use_pallas,
                 remat=self.remat,
+                pair_sharding=self.pair_sharding,
                 name="pair_transform_net",
             )(p, features, deterministic=deterministic)
 

@@ -233,11 +233,18 @@ class PairTransformNet(nn.Module):
     use_pallas: bool = False
 
     remat: bool = True
+    # Optional NamedSharding (batch over 'data', i-axis over 'seq'); the
+    # constraint after every layer keeps GSPMD from re-replicating the
+    # O(N^2) residual stream between layers (see parallel.pair_sharding).
+    pair_sharding: object = None
 
     @nn.compact
     def __call__(self, p, features, deterministic: bool = True):
+        from genie2_tpu.parallel import constrain
+
         mask = features["residue_mask"].astype(p.dtype)
         pair_mask = mask[:, :, None] * mask[:, None, :]
+        pair_mask = constrain(pair_mask, self.pair_sharding)
         # Rematerialize each pair layer in the backward pass: the stack's
         # O(N^2 * c) intermediates otherwise exceed HBM at N=256 during
         # training (measured: a 40x step-time cliff from spilling).
@@ -259,4 +266,5 @@ class PairTransformNet(nn.Module):
                 use_pallas=self.use_pallas,
                 name=f"layer_{i}",
             )(p, pair_mask, deterministic, mask)
+            p = constrain(p, self.pair_sharding)
         return p

@@ -1,7 +1,9 @@
 from genie2_tpu.parallel.mesh import (
     batch_sharding,
+    constrain,
     create_mesh,
     mesh_from_arg,
+    pair_sharding,
     replicate,
     replicated,
     shard_batch,
@@ -9,6 +11,8 @@ from genie2_tpu.parallel.mesh import (
 
 __all__ = [
     "batch_sharding",
+    "constrain",
+    "pair_sharding",
     "create_mesh",
     "mesh_from_arg",
     "replicate",

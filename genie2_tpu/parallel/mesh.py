@@ -24,12 +24,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(n_data: int = -1, devices: Optional[Sequence] = None) -> Mesh:
-    """A 1-D data-parallel mesh over the given (default: all) devices."""
+def create_mesh(
+    n_data: int = -1, devices: Optional[Sequence] = None, n_seq: int = 1
+) -> Mesh:
+    """A data-parallel mesh over the given (default: all) devices.
+
+    n_seq > 1 adds a second 'seq' axis for sequence-sharding the pair
+    tensor (SURVEY §5 long-context row): devices are laid out
+    (n_data, n_seq) with 'seq' innermost so its collectives ride the
+    fastest ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data == -1:
-        n_data = len(devices)
-    return Mesh(np.array(devices[:n_data]), ("data",))
+        n_data = len(devices) // n_seq
+    if n_seq == 1:
+        return Mesh(np.array(devices[:n_data]), ("data",))
+    if n_data * n_seq > len(devices):
+        raise ValueError(
+            f"mesh ({n_data} data x {n_seq} seq) needs {n_data * n_seq} "
+            f"devices, have {len(devices)}"
+        )
+    return Mesh(
+        np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq),
+        ("data", "seq"),
+    )
 
 
 def mesh_from_arg(num_devices: int = -1) -> Optional[Mesh]:
@@ -52,14 +69,65 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pair_sharding(mesh: Optional[Mesh]) -> Optional[NamedSharding]:
+    """Sharding for residue-indexed activations: batch over 'data', the
+    first residue axis over 'seq', everything else replicated. Applies
+    uniformly to the single rep [B,N,c], the pair rep [B,I,J,c] (i-axis
+    sharded) and masks [B,N(,N)] — trailing dims default to replicated.
+    Returns None when the mesh has no 'seq' axis (constraint becomes a
+    no-op in the model)."""
+    if mesh is None or "seq" not in mesh.axis_names or mesh.shape["seq"] == 1:
+        return None
+    return NamedSharding(mesh, P("data", "seq"))
+
+
+def constrain(x, sharding: Optional[NamedSharding]):
+    """jax.lax.with_sharding_constraint that tolerates sharding=None."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch dict with the leading axis sharded over 'data'.
-    All leaves must have a leading batch axis divisible by the mesh size."""
+    All leaves must have a leading batch axis divisible by the mesh size.
+
+    Multi-host (jax.process_count() > 1): `batch` is the GLOBAL batch —
+    every process generates the identical batch (the data order is a pure
+    function of (seed, epoch, step), train/loop.py) and feeds only the rows
+    landing on its addressable devices. This replaces the reference's
+    Lightning/DDP per-rank DistributedSampler (train.py:54-65)."""
     sharding = batch_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    pid = jax.process_index()
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.shape[0] % n_proc:
+            raise ValueError(
+                f"global batch axis {v.shape[0]} not divisible by "
+                f"{n_proc} processes (key {k!r})"
+            )
+        per = v.shape[0] // n_proc
+        local = v[pid * per : (pid + 1) * per]
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, local, global_shape=v.shape
+        )
+    return out
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (e.g. params / schedule) over the mesh."""
+    """Fully replicate a pytree (e.g. params / schedule) over the mesh.
+
+    Multi-host: every process must hold an identical host copy (true for
+    seed-initialized params and restored checkpoints)."""
     sharding = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )

@@ -1,4 +1,5 @@
 from genie2_tpu.train.loss import genie_loss, residue_error_norm
+from genie2_tpu.train.prefetch import PrefetchIterator, prefetch
 from genie2_tpu.train.state import TrainState, create_train_state, make_train_step
 from genie2_tpu.train.data import (
     MotifAugmentConfig,
@@ -13,6 +14,8 @@ from genie2_tpu.train.data import (
 __all__ = [
     "genie_loss",
     "residue_error_norm",
+    "PrefetchIterator",
+    "prefetch",
     "TrainState",
     "create_train_state",
     "make_train_step",

@@ -28,6 +28,7 @@ from genie2_tpu.features import to_device
 from genie2_tpu.nn import Denoiser
 from genie2_tpu.parallel import create_mesh, replicate, shard_batch
 from genie2_tpu.train.data import StructureDataset
+from genie2_tpu.train.prefetch import prefetch
 from genie2_tpu.train.state import TrainState, create_train_state, make_train_step
 from genie2_tpu.utils.model_io import init_params, load_params, save_params
 
@@ -90,11 +91,16 @@ class Trainer:
         resume: bool = False,
     ):
         self.config = config
-        self.model = model or Denoiser.from_config(config)
+        n_seq = config.tpu.get("mesh_seq", 1)
+        self.mesh = (
+            create_mesh(config.tpu.get("mesh_data", -1), n_seq=n_seq)
+            if use_mesh and (len(jax.devices()) > 1 or n_seq > 1)
+            else None
+        )
+        self.model = model or Denoiser.from_config(config, mesh=self.mesh)
         self.schedule = Schedule.create(
             config.diffusion["n_timestep"], config.diffusion["schedule"]
         )
-        self.mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
 
         name = config.io["name"] or "run"
         basedir = os.path.join(config.io["rootdir"], name)
@@ -264,32 +270,49 @@ class Trainer:
                     flush=True,
                 )
 
+        def place(batch):
+            # Runs on the prefetch thread: the host-side residue count plus
+            # the (async) host->device transfer, both off the step loop.
+            n_res = int(batch["residue_mask"].sum())
+            device_batch = (
+                shard_batch(batch, self.mesh)
+                if self.mesh is not None
+                else to_device(batch)
+            )
+            return n_res, device_batch
+
+        depth = cfg.get("prefetch_depth", 2)
         residues_done = 0
+        # Host-side mirror of state.step: fetching the device counter every
+        # step would synchronize the dispatch queue (one int() per step) and
+        # defeat the prefetch overlap entirely.
+        step = int(self.state.step)
         t0 = time.perf_counter()
         for epoch in range(start_epoch, n_epoch):
             epoch_key = jax.random.fold_in(base_key, epoch)
             data_rng = np.random.default_rng([cfg["seed"], epoch])
             skip = start_batch if epoch == start_epoch else 0
-            batches = dataset.epoch(batch_size, data_rng, start_batch=skip)
-            for b, batch in enumerate(batches, start=skip):
-                step_key = jax.random.fold_in(epoch_key, b)
-                device_batch = (
-                    shard_batch(batch, self.mesh)
-                    if self.mesh is not None
-                    else to_device(batch)
-                )
-                self.state, metrics = self._step_fn(self.state, device_batch, step_key)
-                step = int(self.state.step)
-                residues_done += int(batch["residue_mask"].sum())
-                metrics = dict(metrics)
-                metrics["residues_per_s"] = residues_done / (time.perf_counter() - t0)
-                self.logger.log(step, metrics)
-                if save_state_every_n_step and (b + 1) % save_state_every_n_step == 0:
-                    self.save_state(epoch, b + 1)
+            batches = prefetch(
+                dataset.epoch(batch_size, data_rng, start_batch=skip), place, depth
+            )
+            try:
+                for b, (n_res, device_batch) in enumerate(batches, start=skip):
+                    step_key = jax.random.fold_in(epoch_key, b)
+                    self.state, metrics = self._step_fn(self.state, device_batch, step_key)
+                    step += 1
+                    residues_done += n_res
+                    metrics = dict(metrics)
+                    metrics["residues_per_s"] = residues_done / (time.perf_counter() - t0)
+                    self.logger.log(step, metrics)
+                    if save_state_every_n_step and (b + 1) % save_state_every_n_step == 0:
+                        self.save_state(epoch, b + 1)
+            finally:
+                if hasattr(batches, "close"):
+                    batches.close()
             if val_dataset is not None:
                 val_key = jax.random.fold_in(epoch_key, 2**30)
                 val_loss = self.evaluate(val_dataset, batch_size, val_key)
-                self.logger.log(int(self.state.step), {"val_loss": val_loss}, prefix="val")
+                self.logger.log(step, {"val_loss": val_loss}, prefix="val")
             if (epoch + 1) % cfg["checkpoint_every_n_epoch"] == 0 or epoch == n_epoch - 1:
                 path = self.save_checkpoint(epoch)
                 self.save_state(epoch + 1, 0)

@@ -1,0 +1,149 @@
+"""Sequence-sharded pair tensor (VERDICT Missing #7 / Next #7).
+
+A 2-D ('data', 'seq') mesh shards the O(N^2) pair representation along its
+i-axis via GSPMD sharding constraints (parallel.pair_sharding). These tests
+prove, on the virtual 8-device CPU mesh:
+
+  * the N=256 forward matches the unsharded model (same params),
+  * the per-device pair-tensor shard is mesh-size-fold smaller (the
+    long-context memory story), and
+  * the training step runs and matches the unsharded loss.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genie2_tpu.config import Config
+from genie2_tpu.diffusion import Schedule
+from genie2_tpu.features import batchify, create_empty_features, to_device
+from genie2_tpu.geometry import Rigid, frenet_frames
+from genie2_tpu.nn import Denoiser
+from genie2_tpu.parallel import (
+    create_mesh,
+    pair_sharding,
+    replicate,
+    shard_batch,
+)
+from genie2_tpu.train import create_train_state, make_train_step, synthetic_dataset
+
+
+def seq_config(n_res):
+    return Config(
+        overrides={
+            "singleFeatureDimension": 16,
+            "pairFeatureDimension": 8,
+            "positionalEmbeddingDimension": 8,
+            "chainEmbeddingDimension": 4,
+            "timestepEmbeddingDimension": 8,
+            "templateDistanceNumBins": 5,
+            "numPairTransformLayers": 2,
+            "triangularMultiplicativeHiddenDimension": 4,
+            "includeTriangularAttention": True,
+            "triangularAttentionHiddenDimension": 4,
+            "triangularAttentionNumHeads": 2,
+            "numStructureLayers": 1,
+            "ipaHiddenDimension": 4,
+            "ipaNumHeads": 2,
+            "ipaNumQkPoints": 2,
+            "ipaNumVPoints": 2,
+            "numTimesteps": 10,
+            "maximumNumResidues": n_res,
+            "remat": False,
+            "meshSeq": 4,
+        }
+    )
+
+
+def make_inputs(batch, n_res, seed=0):
+    feats = to_device(batchify([create_empty_features([n_res]) for _ in range(batch)]))
+    trans = jax.random.normal(jax.random.PRNGKey(seed), (batch, n_res, 3)) * 3.0
+    rots = frenet_frames(trans, feats["chain_index"], feats["residue_mask"])
+    t = jnp.full((batch,), 5, jnp.int32)
+    return Rigid(rots, trans), t, feats
+
+
+class TestMeshConstruction:
+    def test_2d_mesh_layout(self):
+        mesh = create_mesh(n_seq=4)
+        assert mesh.axis_names == ("data", "seq")
+        assert mesh.shape["data"] == 2 and mesh.shape["seq"] == 4
+
+    def test_pair_sharding_none_for_1d_mesh(self):
+        assert pair_sharding(create_mesh()) is None
+        assert pair_sharding(None) is None
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError, match="devices"):
+            create_mesh(n_data=4, n_seq=4)
+
+
+class TestSeqShardedForward:
+    @pytest.mark.slow
+    def test_n256_forward_matches_unsharded(self):
+        """VERDICT #7 done-criterion: N=256 forward matches the unsharded
+        model on an 8-device CPU mesh."""
+        n_res, batch = 256, 2
+        config = seq_config(n_res)
+        mesh = create_mesh(n_seq=config.tpu["mesh_seq"])
+
+        model_plain = Denoiser.from_config(config)  # no mesh -> unsharded
+        model_seq = Denoiser.from_config(config, mesh=mesh)
+        assert model_seq.pair_sharding is not None
+
+        ts, t, feats = make_inputs(batch, n_res)
+        params = model_plain.init(jax.random.PRNGKey(0), ts, t, feats)
+
+        out_plain = jax.jit(model_plain.apply)(params, ts, t, feats)
+
+        params_r = replicate(params, mesh)
+        feats_s = shard_batch({k: np.asarray(v) for k, v in feats.items()}, mesh)
+        ts_s = Rigid(
+            jax.device_put(ts.rots, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))),
+            jax.device_put(ts.trans, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))),
+        )
+        out_seq = jax.jit(model_seq.apply)(params_r, ts_s, t, feats_s)
+
+        np.testing.assert_allclose(
+            np.asarray(out_plain["z"]), np.asarray(out_seq["z"]), atol=2e-5
+        )
+
+        # Memory story: the pair rep comes back sharded over both axes, so
+        # each device holds a mesh-size-fold smaller shard.
+        p = out_seq["p"]
+        shard = p.addressable_shards[0].data
+        assert shard.shape == (batch // 2, n_res // 4, n_res, config.model["c_p"])
+        assert shard.nbytes * mesh.devices.size == np.prod(p.shape) * p.dtype.itemsize
+
+    def test_training_step_with_seq_sharding(self):
+        """Gradients flow through the sharding constraints; loss matches the
+        unsharded step bit-for-bit in expectation (same RNG, tolerance for
+        collective reduction order)."""
+        n_res, batch = 32, 4
+        config = seq_config(n_res)
+        mesh = create_mesh(n_seq=config.tpu["mesh_seq"])
+        model_plain = Denoiser.from_config(config)
+        model_seq = Denoiser.from_config(config, mesh=mesh)
+
+        ds = synthetic_dataset(8, max_n_res=n_res)
+        batch_np = next(ds.epoch(batch, np.random.default_rng(0)))
+        ts, t, feats0 = make_inputs(1, n_res)
+        params = model_plain.init(jax.random.PRNGKey(0), ts, t, feats0)
+        schedule = Schedule.create(config.diffusion["n_timestep"])
+        key = jax.random.PRNGKey(3)
+
+        state_p, tx_p = create_train_state(params, lr=1e-3)
+        step_p = make_train_step(model_plain, schedule, tx_p, 1.0)
+        _, metrics_p = step_p(state_p, to_device(batch_np), key)
+
+        state_s, tx_s = create_train_state(params, lr=1e-3)
+        state_s = replicate(state_s, mesh)
+        step_s = make_train_step(model_seq, schedule, tx_s, 1.0)
+        _, metrics_s = step_s(state_s, shard_batch(batch_np, mesh), key)
+
+        np.testing.assert_allclose(
+            float(metrics_p["weighted_loss"]),
+            float(metrics_s["weighted_loss"]),
+            rtol=1e-5,
+        )
