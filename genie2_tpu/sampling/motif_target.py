@@ -46,11 +46,40 @@ def parse_motif_target_pdb(path: str) -> Tuple[List[np.ndarray], int]:
     return [c - com for c in coords], protein_length
 
 
-def load_motif_target(index: int, folder_path: str) -> Tuple[List[np.ndarray], int]:
-    """Load the index-th motif problem from a MotifBench-style directory
-    (files sorted by their leading number, sampler/utils.py:130-151)."""
+def motif_target_path(index: int, folder_path: str) -> str:
     files = sorted(
         (f for f in os.listdir(folder_path) if f.endswith(".pdb")),
         key=lambda x: int(x.split("_")[0]),
     )
-    return parse_motif_target_pdb(os.path.join(folder_path, files[index]))
+    return os.path.join(folder_path, files[index])
+
+
+def load_motif_target(index: int, folder_path: str) -> Tuple[List[np.ndarray], int]:
+    """Load the index-th motif problem from a MotifBench-style directory
+    (files sorted by their leading number, sampler/utils.py:130-151)."""
+    return parse_motif_target_pdb(motif_target_path(index, folder_path))
+
+
+def load_motif_target_info(index: int, folder_path: str) -> List[dict]:
+    """Per-segment source metadata for benchmark manifests: a dict with
+    chain / start / end (source residue numbers) per TER-separated segment.
+    The reference never needed this (its manifests were written by hand);
+    it feeds sampling.manifest.write_benchmark_manifests."""
+    segments: List[dict] = []
+    current: dict = {}
+    with open(motif_target_path(index, folder_path)) as f:
+        for line in f:
+            if line.startswith("TER"):
+                if current:
+                    segments.append(current)
+                    current = {}
+            elif line.startswith("ATOM") and line[12:16].strip() == "CA":
+                chain = line[21].strip() or "A"
+                resid = int(line[22:26])
+                if not current:
+                    current = {"chain": chain, "start": resid, "end": resid}
+                else:
+                    current["end"] = resid
+    if current:
+        segments.append(current)
+    return segments

@@ -341,7 +341,19 @@ class SMCSampler(BaseSampler):
 
         self.trace = jax.tree_util.tree_map(np.asarray, trace)
         self.snapshots = snapshots
-        self.final_placement = placements[int(np.asarray(final_score)[0].argmax())]
+        score_np = np.asarray(final_score)
+        # Per-particle inferred placements (sample i = particle i); particle
+        # 0's is the reference's single motif_location.txt value.
+        self.final_placements = [
+            placements[int(score_np[p].argmax())] for p in range(score_np.shape[0])
+        ]
+        self.final_placement = self.final_placements[0]
+        self._protein_length = protein_length
+        from genie2_tpu.sampling.motif_target import load_motif_target_info
+
+        self._seg_info = load_motif_target_info(
+            params["motif_index"], params["motif_dir"]
+        )
 
         features = dict(features)
         features.pop("static_pair_bias", None)
@@ -357,6 +369,18 @@ class SMCSampler(BaseSampler):
         with open(os.path.join(params["outdir"], "motif_location.txt"), "w") as f:
             for start, end in self.final_placement:
                 f.write(f"{start}\t{end}\n")
+
+        # Benchmark manifests (the reference's for_benchmark/ assets,
+        # results/test002/for_benchmark/06_6E6R/*.csv).
+        from genie2_tpu.sampling.manifest import write_benchmark_manifests
+
+        write_benchmark_manifests(
+            params["outdir"],
+            pdb_name=params["prefix"],
+            length=self._protein_length,
+            placements=self.final_placements[: len(list_np_features)],
+            seg_info=self._seg_info,
+        )
 
         # Optional trajectory dumps, mirroring the reference's filenames
         # (x0_predicted_test_{step}.pdb / xt_predicted_test_{step}.pdb,
