@@ -29,7 +29,10 @@ def main():
     length = int(os.environ.get("TRAIN_LEN", "256"))
     n_steps = int(os.environ.get("TRAIN_STEPS", "20"))
 
-    config = Config(overrides={"maximumNumResidues": length, "batchSize": batch})
+    overrides = {"maximumNumResidues": length, "batchSize": batch}
+    if os.environ.get("TRAIN_REMAT", "1") == "0":
+        overrides["remat"] = False
+    config = Config(overrides=overrides)
     from genie2_tpu.nn import Denoiser
 
     model = Denoiser.from_config(config)
