@@ -43,6 +43,8 @@ def run_tasks(args):
                     "offset": offset,
                     "filepath": path,
                     "seed": args.seed,
+                    "ddim_steps": getattr(args, "ddim_steps", 0),
+                    "ddim_eta": getattr(args, "ddim_eta", 0.0),
                 }
             )
             offset += batch
@@ -62,6 +64,11 @@ def main():
     parser.add_argument("--num_samples", type=int, default=100, help="Samples per problem")
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--motif_name", type=str, default=None)
+    parser.add_argument("--ddim_steps", type=int, default=0,
+                        help="Accelerated DDIM sampling with this many steps "
+                             "(0 = full ancestral DDPM; no reference counterpart)")
+    parser.add_argument("--ddim_eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--datadir", type=str, default="data/design25")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num_devices", type=int, default=-1,

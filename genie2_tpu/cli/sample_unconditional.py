@@ -44,6 +44,8 @@ def run_packed(args, model, params, config, mesh=None):
                 "lengths": [l for l, _ in chunk],
                 "names": [f"{l}_{i}" for l, i in chunk],
                 "seed": args.seed,
+                "ddim_steps": getattr(args, "ddim_steps", 0),
+                "ddim_eta": getattr(args, "ddim_eta", 0.0),
             }
         )
     print(f"packed sweep: {len(tasks)} samples done", flush=True)
@@ -79,6 +81,8 @@ def run_tasks(args):
                     "offset": offset,
                     "length": length,
                     "seed": args.seed,
+                    "ddim_steps": getattr(args, "ddim_steps", 0),
+                    "ddim_eta": getattr(args, "ddim_eta", 0.0),
                 }
             )
             offset += batch
@@ -106,6 +110,11 @@ def main():
                         help="Run in decreasing order of length")
     parser.add_argument("--pack", action="store_true",
                         help="Pack mixed lengths into full bucket-grouped batches")
+    parser.add_argument("--ddim_steps", type=int, default=0,
+                        help="Accelerated DDIM sampling with this many steps "
+                             "(0 = full ancestral DDPM; no reference counterpart)")
+    parser.add_argument("--ddim_eta", type=float, default=0.0,
+                        help="DDIM stochasticity (0 = deterministic ODE)")
     run_tasks(parser.parse_args())
 
 

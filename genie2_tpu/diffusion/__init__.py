@@ -4,6 +4,7 @@ from genie2_tpu.diffusion.schedule import (
     get_betas,
     q_sample,
     x0_from_eps,
+    ddim_step_from_eps,
     posterior_mean_from_eps,
     posterior_mean_from_x0,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "get_betas",
     "q_sample",
     "x0_from_eps",
+    "ddim_step_from_eps",
     "posterior_mean_from_eps",
     "posterior_mean_from_x0",
 ]

@@ -130,6 +130,37 @@ def posterior_mean_from_eps(schedule: Schedule, xt: jnp.ndarray, t: jnp.ndarray,
     )
 
 
+def ddim_step_from_eps(
+    schedule: Schedule,
+    xt: jnp.ndarray,
+    t: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    eps: jnp.ndarray,
+    noise: jnp.ndarray,
+    eta,
+):
+    """One DDIM update x_t -> x_{t_prev} (Song et al. 2021, eq. 12), for
+    arbitrary step subsequences t > t_prev >= 0 (index 0 of the one-indexed
+    schedule tables is the clean state, abar_0 = 1, so t_prev = 0 lands on
+    x_0 with zero injected noise for any eta).
+
+    eta = 0 is the deterministic DDIM ODE; eta = 1 recovers the DDPM
+    posterior variance on the full step sequence. No reference counterpart
+    (the reference only has the 1000-step ancestral loop, base.py:236-282);
+    this is the accelerated-sampling path.
+    """
+    abar_t = schedule.alphas_cumprod[t][:, None, None]
+    abar_p = schedule.alphas_cumprod[t_prev][:, None, None]
+    x0 = x0_from_eps(schedule, xt, t, eps)
+    sigma = (
+        eta
+        * jnp.sqrt((1.0 - abar_p) / (1.0 - abar_t))
+        * jnp.sqrt(1.0 - abar_t / abar_p)
+    )
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - abar_p - sigma**2, 0.0)) * eps
+    return jnp.sqrt(abar_p) * x0 + dir_xt + sigma * noise
+
+
 def posterior_mean_from_x0(schedule: Schedule, xt: jnp.ndarray, t: jnp.ndarray, x0: jnp.ndarray):
     """mu_t = coef1 x_0 + coef2 x_t with the TDS sampler's coefficient
     convention (unconditional_smc.py:497-504): coef1 uses sqrt(abar_{t-1})

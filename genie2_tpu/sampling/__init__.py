@@ -3,6 +3,8 @@ from genie2_tpu.sampling.ddpm import (
     ancestral_sample,
     ancestral_sample_injected,
     ancestral_sample_with_trajectory,
+    ddim_sample,
+    ddim_schedule,
     reverse_step,
 )
 from genie2_tpu.sampling.unconditional import (
@@ -33,6 +35,8 @@ __all__ = [
     "bucket_length",
     "ancestral_sample",
     "ancestral_sample_with_trajectory",
+    "ddim_sample",
+    "ddim_schedule",
     "reverse_step",
     "UnconditionalSampler",
     "PackedUnconditionalSampler",

@@ -17,7 +17,7 @@ import numpy as np
 
 from genie2_tpu.diffusion import Schedule
 from genie2_tpu.features import batchify, debatchify, to_device, to_host
-from genie2_tpu.sampling.ddpm import ancestral_sample
+from genie2_tpu.sampling.ddpm import ancestral_sample, ddim_sample
 
 
 def bucket_length(n: int, multiple: int = 32) -> int:
@@ -192,16 +192,32 @@ class BaseSampler(ABC):
             ids = jnp.asarray(ids)
 
         features["static_pair_bias"] = self._static_bias_fn(self.params, features)
-        trans = ancestral_sample(
-            self.apply_fn,
-            self.params,
-            self.schedule,
-            features,
-            key,
-            jnp.float32(params["scale"]),
-            self.schedule.n_timestep,
-            sample_ids=ids,
-        )
+        ddim_steps = int(params.get("ddim_steps") or 0)
+        if ddim_steps:
+            # Accelerated DDIM path (no reference counterpart): a K-step
+            # subsequence of the T-step schedule, eta in [0, 1].
+            trans = ddim_sample(
+                self.apply_fn,
+                self.params,
+                self.schedule,
+                features,
+                key,
+                ddim_steps,
+                self.schedule.n_timestep,
+                eta=float(params.get("ddim_eta", 0.0)),
+                sample_ids=ids,
+            )
+        else:
+            trans = ancestral_sample(
+                self.apply_fn,
+                self.params,
+                self.schedule,
+                features,
+                key,
+                jnp.float32(params["scale"]),
+                self.schedule.n_timestep,
+                sample_ids=ids,
+            )
 
         features = dict(features)
         features.pop("static_pair_bias", None)
