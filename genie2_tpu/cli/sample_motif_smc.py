@@ -17,7 +17,9 @@ def run(args):
     from genie2_tpu.sampling import SMCSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
-    model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    model, params, config = load_pretrained_model(
+        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
+    )
     sampler = SMCSampler(
         model, params, config, mesh=mesh_from_arg(args.num_devices)
     )
@@ -62,6 +64,9 @@ def main():
     parser.add_argument("--max_offsets", type=int, default=1000)
     parser.add_argument("--offset", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ema", action="store_true",
+                        help="Sample from the weight-EMA checkpoint "
+                             "(epoch.{E}.ema.ckpt; no reference counterpart)")
     parser.add_argument("--dump_trajectory_every", type=int, default=0,
                         help="Dump x0/xt PDB snapshots every K steps (0 = off)")
     parser.add_argument("--num_devices", type=int, default=-1,

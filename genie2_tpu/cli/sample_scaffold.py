@@ -18,7 +18,9 @@ def run_tasks(args):
     from genie2_tpu.sampling import ScaffoldSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
-    model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    model, params, config = load_pretrained_model(
+        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
+    )
     sampler = ScaffoldSampler(model, params, config, mesh=mesh_from_arg(args.num_devices))
 
     paths = sorted(glob.glob(os.path.join(args.datadir, "*.pdb")))
@@ -71,6 +73,9 @@ def main():
                         help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--datadir", type=str, default="data/design25")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ema", action="store_true",
+                        help="Sample from the weight-EMA checkpoint "
+                             "(epoch.{E}.ema.ckpt; no reference counterpart)")
     parser.add_argument("--num_devices", type=int, default=-1,
                         help="Data-mesh size to shard sample batches over "
                              "(-1 = all devices, 1 = no sharding)")

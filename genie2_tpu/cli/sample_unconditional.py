@@ -56,7 +56,9 @@ def run_tasks(args):
     from genie2_tpu.sampling import UnconditionalSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
-    model, params, config = load_pretrained_model(args.rootdir, args.name, args.epoch)
+    model, params, config = load_pretrained_model(
+        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
+    )
     mesh = mesh_from_arg(args.num_devices)
     if args.pack:
         return run_packed(args, model, params, config, mesh=mesh)
@@ -103,6 +105,9 @@ def main():
     parser.add_argument("--max_length", type=int, default=256)
     parser.add_argument("--length_step", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ema", action="store_true",
+                        help="Sample from the weight-EMA checkpoint "
+                             "(epoch.{E}.ema.ckpt; no reference counterpart)")
     parser.add_argument("--num_devices", type=int, default=-1,
                         help="Data-mesh size to shard sample batches over "
                              "(-1 = all devices, 1 = no sharding)")

@@ -69,7 +69,9 @@ def main(args):
         f"{len(jax.devices())} device(s)"
     )
 
-    trainer = Trainer(config, resume=args.resume)
+    trainer = Trainer(
+        config, resume=args.resume, init_from=getattr(args, "init_from", None)
+    )
     # Persist the configuration next to the checkpoints, as the reference
     # does (re-read at inference; model_io.py:49-62).
     shutil.copyfile(
@@ -94,6 +96,10 @@ def cli():
                              "(step-granular; reproduces the uninterrupted run)")
     parser.add_argument("--distributed", action="store_true", default=False,
                         help="Initialize jax.distributed (multi-host)")
+    parser.add_argument("--init_from", type=str, default=None,
+                        help="Fine-tune: initialize weights from a checkpoint "
+                             "(orbax dir or torch Lightning .ckpt), fresh "
+                             "optimizer state")
     main(parser.parse_args())
 
 

@@ -89,6 +89,7 @@ class Trainer:
         use_mesh: bool = True,
         version: Optional[int] = None,
         resume: bool = False,
+        init_from: Optional[str] = None,
     ):
         self.config = config
         n_seq = config.tpu.get("mesh_seq", 1)
@@ -120,6 +121,13 @@ class Trainer:
         )
 
         params = init_params(self.model, config, seed=config.training["seed"])
+        if init_from:
+            # Fine-tune: start from existing weights (orbax dir or torch
+            # Lightning .ckpt via the converter) with a FRESH optimizer —
+            # the reference's continue-training flow reloads weights the
+            # same way (model_io.py:79-137 under train.py:50).
+            print(f"[finetune] initializing weights from {init_from}", flush=True)
+            params = load_params(init_from, jax.device_get(params))
         self.state, self._tx = create_train_state(
             params, config.optimization["lr"],
             ema_decay=config.training.get("ema_decay", 0.0),

@@ -136,12 +136,15 @@ def load_model(
 
 
 def load_pretrained_model(
-    rootdir: str, name: str, epoch: int
+    rootdir: str, name: str, epoch: int, ema: bool = False
 ) -> Tuple[Denoiser, Dict[str, Any], Config]:
-    """Release-layout loader (model_io.py:139-173)."""
+    """Release-layout loader (model_io.py:139-173). With ema=True, loads the
+    weight-EMA checkpoint the Trainer writes alongside the raw weights
+    (`epoch.{E}.ema.ckpt`; the reference has no weight EMA at all)."""
     config = load_config(rootdir, name)
     model = Denoiser.from_config(config)
-    base = os.path.join(rootdir, name, "checkpoints", f"epoch.{epoch}.ckpt")
+    stem = f"epoch.{epoch}.ema.ckpt" if ema else f"epoch.{epoch}.ckpt"
+    base = os.path.join(rootdir, name, "checkpoints", stem)
     if not os.path.exists(base):
         raise FileNotFoundError(f"Missing checkpoint: {base}")
     print(f"Loading checkpoint: {base}")

@@ -171,3 +171,64 @@ class TestTrainer:
         assert int(trainer2.state.step) == 4
         state2 = trainer2.fit(ds, n_epoch=3, resume=True)
         assert int(state2.step) == 6  # one more epoch of 2 batches
+
+    def test_finetune_init_from(self, tmp_path):
+        """init_from loads existing weights with a fresh optimizer (the
+        fine-tune flow; reference equivalent is load_model re-loading weights
+        under train.py's fit)."""
+        from genie2_tpu.train.loop import Trainer
+
+        config = tiny_config()
+        config.io["rootdir"] = str(tmp_path / "runs")
+        config.io["name"] = "ft"
+
+        donor = Trainer(config, use_mesh=False)
+        ckpt = str(tmp_path / "donor.ckpt")
+        save_params(ckpt, jax.device_get(donor.state.params))
+
+        tuned = Trainer(config, use_mesh=False, init_from=ckpt)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(donor.state.params),
+            jax.tree_util.tree_leaves(tuned.state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(tuned.state.step) == 0  # fresh optimizer/step
+
+
+class TestEmaCheckpoint:
+    def test_load_pretrained_ema(self, tmp_path):
+        """--ema loads the weight-EMA release checkpoint epoch.{E}.ema.ckpt."""
+        from genie2_tpu.utils.model_io import load_pretrained_model
+
+        config = tiny_config()
+        model = Denoiser.from_config(config)
+        params = jax.device_get(init_params(model, config))
+        ema = jax.tree_util.tree_map(lambda x: np.asarray(x) * 0.5, params)
+
+        basedir = str(tmp_path / "e")
+        ckpt_dir = os.path.join(basedir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        TestLayoutDiscovery()._write_config(basedir)
+        save_params(os.path.join(ckpt_dir, "epoch.7.ckpt"), params)
+        save_params(os.path.join(ckpt_dir, "epoch.7.ema.ckpt"), ema)
+
+        _, raw, _ = load_pretrained_model(str(tmp_path), "e", 7)
+        _, avg, _ = load_pretrained_model(str(tmp_path), "e", 7, ema=True)
+        for a, b, c in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(raw),
+            jax.tree_util.tree_leaves(avg),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(
+                np.asarray(a) * 0.5, np.asarray(c), rtol=1e-6
+            )
+
+    def test_missing_ema_checkpoint_raises(self, tmp_path):
+        from genie2_tpu.utils.model_io import load_pretrained_model
+
+        basedir = str(tmp_path / "e")
+        os.makedirs(os.path.join(basedir, "checkpoints"), exist_ok=True)
+        TestLayoutDiscovery()._write_config(basedir)
+        with pytest.raises(FileNotFoundError):
+            load_pretrained_model(str(tmp_path), "e", 7, ema=True)
