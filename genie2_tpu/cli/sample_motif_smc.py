@@ -17,12 +17,12 @@ def run(args):
     from genie2_tpu.sampling import SMCSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
+    mesh = mesh_from_arg(args.num_devices, getattr(args, "mesh_seq", 1))
     model, params, config = load_pretrained_model(
-        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
+        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False),
+        mesh=mesh,
     )
-    sampler = SMCSampler(
-        model, params, config, mesh=mesh_from_arg(args.num_devices)
-    )
+    sampler = SMCSampler(model, params, config, mesh=mesh)
     sampler.max_offsets = args.max_offsets
     if args.dump_trajectory_every:
         sampler.dump_trajectory_every = args.dump_trajectory_every
@@ -69,6 +69,9 @@ def main():
                              "(epoch.{E}.ema.ckpt; no reference counterpart)")
     parser.add_argument("--dump_trajectory_every", type=int, default=0,
                         help="Dump x0/xt PDB snapshots every K steps (0 = off)")
+    parser.add_argument("--mesh_seq", type=int, default=1,
+                        help="Sequence-shard each particle's pair tensor over "
+                             "this many devices (2-D ('data','seq') mesh)")
     parser.add_argument("--num_devices", type=int, default=-1,
                         help="Data-mesh size to shard the particle axis over "
                              "(-1 = all devices, 1 = no sharding)")

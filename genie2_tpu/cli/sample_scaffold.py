@@ -18,10 +18,12 @@ def run_tasks(args):
     from genie2_tpu.sampling import ScaffoldSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
+    mesh = mesh_from_arg(args.num_devices, getattr(args, "mesh_seq", 1))
     model, params, config = load_pretrained_model(
-        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
+        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False),
+        mesh=mesh,
     )
-    sampler = ScaffoldSampler(model, params, config, mesh=mesh_from_arg(args.num_devices))
+    sampler = ScaffoldSampler(model, params, config, mesh=mesh)
 
     paths = sorted(glob.glob(os.path.join(args.datadir, "*.pdb")))
     if args.motif_name is not None:
@@ -76,6 +78,9 @@ def main():
     parser.add_argument("--ema", action="store_true",
                         help="Sample from the weight-EMA checkpoint "
                              "(epoch.{E}.ema.ckpt; no reference counterpart)")
+    parser.add_argument("--mesh_seq", type=int, default=1,
+                        help="Sequence-shard each sample's pair tensor over "
+                             "this many devices (2-D ('data','seq') mesh)")
     parser.add_argument("--num_devices", type=int, default=-1,
                         help="Data-mesh size to shard sample batches over "
                              "(-1 = all devices, 1 = no sharding)")

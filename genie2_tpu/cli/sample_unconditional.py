@@ -56,10 +56,11 @@ def run_tasks(args):
     from genie2_tpu.sampling import UnconditionalSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
+    mesh = mesh_from_arg(args.num_devices, getattr(args, "mesh_seq", 1))
     model, params, config = load_pretrained_model(
-        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
+        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False),
+        mesh=mesh,
     )
-    mesh = mesh_from_arg(args.num_devices)
     if args.pack:
         return run_packed(args, model, params, config, mesh=mesh)
     sampler = UnconditionalSampler(model, params, config, mesh=mesh)
@@ -108,6 +109,10 @@ def main():
     parser.add_argument("--ema", action="store_true",
                         help="Sample from the weight-EMA checkpoint "
                              "(epoch.{E}.ema.ckpt; no reference counterpart)")
+    parser.add_argument("--mesh_seq", type=int, default=1,
+                        help="Sequence-shard each sample's pair tensor over "
+                             "this many devices (2-D ('data','seq') mesh; "
+                             "long-context inference past one chip's HBM)")
     parser.add_argument("--num_devices", type=int, default=-1,
                         help="Data-mesh size to shard sample batches over "
                              "(-1 = all devices, 1 = no sharding)")

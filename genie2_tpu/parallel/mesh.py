@@ -49,14 +49,21 @@ def create_mesh(
     )
 
 
-def mesh_from_arg(num_devices: int = -1) -> Optional[Mesh]:
+def mesh_from_arg(num_devices: int = -1, n_seq: int = 1) -> Optional[Mesh]:
     """Resolve a CLI --num_devices flag into a mesh (None = single device,
-    no sharding). -1 means all available devices."""
+    no sharding). -1 means all available devices. n_seq > 1 splits the
+    devices into a 2-D ('data', 'seq') mesh: num_devices total, of which
+    n_seq sequence-shard each sample's pair tensor (long-context
+    inference)."""
     n = len(jax.devices()) if num_devices == -1 else num_devices
     if n <= 1:
         return None
     if n > len(jax.devices()):
         raise ValueError(f"--num_devices {n} > available {len(jax.devices())}")
+    if n_seq > 1:
+        if n % n_seq:
+            raise ValueError(f"--num_devices {n} not divisible by --mesh_seq {n_seq}")
+        return create_mesh(n // n_seq, n_seq=n_seq)
     return create_mesh(n)
 
 

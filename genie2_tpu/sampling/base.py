@@ -172,10 +172,12 @@ class BaseSampler(ABC):
         if self.mesh is not None:
             from genie2_tpu.parallel import shard_batch
 
-            # Pad the batch axis to a mesh multiple by repeating row 0 with
-            # throwaway RNG ids; per-sample RNG makes the dummies inert and
-            # they are sliced off below.
-            n_dev = self.mesh.devices.size
+            # Pad the batch axis to a data-axis multiple by repeating row 0
+            # with throwaway RNG ids; per-sample RNG makes the dummies inert
+            # and they are sliced off below. (On a 2-D ('data','seq') mesh
+            # only the data axis carries batch; 'seq' shards the pair
+            # tensor inside the model.)
+            n_dev = dict(self.mesh.shape).get("data", self.mesh.devices.size)
             n_total = -(-n_real // n_dev) * n_dev
             if n_total != n_real:
                 reps = n_total - n_real

@@ -104,12 +104,17 @@ def load_params(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str,
 
 
 def load_model(
-    rootdir: str, name: str, version: Optional[int] = None, epoch: Optional[int] = None
+    rootdir: str,
+    name: str,
+    version: Optional[int] = None,
+    epoch: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[Denoiser, Dict[str, Any], Config]:
     """Training-layout loader with latest-version/epoch discovery and an
-    untrained fallback (model_io.py:79-137)."""
+    untrained fallback (model_io.py:79-137). A mesh with a 'seq' axis turns
+    on sequence-sharding constraints inside the model."""
     config = load_config(rootdir, name)
-    model = Denoiser.from_config(config)
+    model = Denoiser.from_config(config, mesh=mesh)
 
     versions = get_versions(rootdir, name)
     if version is None:
@@ -136,13 +141,15 @@ def load_model(
 
 
 def load_pretrained_model(
-    rootdir: str, name: str, epoch: int, ema: bool = False
+    rootdir: str, name: str, epoch: int, ema: bool = False, mesh=None
 ) -> Tuple[Denoiser, Dict[str, Any], Config]:
     """Release-layout loader (model_io.py:139-173). With ema=True, loads the
     weight-EMA checkpoint the Trainer writes alongside the raw weights
-    (`epoch.{E}.ema.ckpt`; the reference has no weight EMA at all)."""
+    (`epoch.{E}.ema.ckpt`; the reference has no weight EMA at all). A mesh
+    with a 'seq' axis turns on sequence-sharding constraints inside the
+    model (long-context inference)."""
     config = load_config(rootdir, name)
-    model = Denoiser.from_config(config)
+    model = Denoiser.from_config(config, mesh=mesh)
     stem = f"epoch.{epoch}.ema.ckpt" if ema else f"epoch.{epoch}.ckpt"
     base = os.path.join(rootdir, name, "checkpoints", stem)
     if not os.path.exists(base):

@@ -117,6 +117,30 @@ def test_sample_unconditional_cli_multidevice_matches_single(release_dir, tmp_pa
     assert outs[1]["16_0"] != outs[1]["16_1"]
 
 
+def test_sample_unconditional_cli_seq_sharded_matches_single(release_dir, tmp_path):
+    """Long-context inference mesh: a 2-D ('data','seq') = (2,4) mesh
+    (--mesh_seq) sequence-shards the pair tensor inside the model and must
+    reproduce the single-device outputs byte-identically."""
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    outs = {}
+    for n_dev, n_seq in ((1, 1), (8, 4)):
+        outdir = tmp_path / f"seq{n_seq}"
+        args = argparse.Namespace(
+            name="vcli", epoch=1, rootdir=release_dir, scale=0.6,
+            outdir=str(outdir), num_samples=2, batch_size=2,
+            min_length=16, max_length=16, length_step=2, seed=0,
+            num_devices=n_dev, mesh_seq=n_seq, sequential_order=True,
+            pack=False,
+        )
+        run_tasks(args)
+        outs[n_seq] = {
+            f"16_{i}": (outdir / "pdbs" / f"16_{i}.pdb").read_bytes()
+            for i in range(2)
+        }
+    assert outs[1] == outs[4]
+
+
 def test_sample_unconditional_batch_composition_invariance(release_dir, tmp_path):
     """A sample's output depends only on (seed, sample id, bucket) — not on
     batch size. batch_size=1 and batch_size=3 must give the same PDBs."""
