@@ -15,6 +15,7 @@ from genie2_tpu.sampling.scaffold import ScaffoldSampler
 from genie2_tpu.sampling.smc import SMCSampler, TDSTrace, tds_sample
 from genie2_tpu.sampling.motif_target import load_motif_target, parse_motif_target_pdb
 from genie2_tpu.sampling.feynman_kac import FKResult, smc_feynman_kac
+from genie2_tpu.sampling.sse_guided import soft_sse_fraction, sse_guided_sample
 from genie2_tpu.sampling.resampling import (
     RESAMPLERS,
     ess_from_log_weights,
@@ -48,6 +49,8 @@ __all__ = [
     "parse_motif_target_pdb",
     "FKResult",
     "smc_feynman_kac",
+    "soft_sse_fraction",
+    "sse_guided_sample",
     "RESAMPLERS",
     "ess_from_log_weights",
     "multinomial_resample_indices",
