@@ -124,6 +124,27 @@ def main():
     samples_per_min = batch / best_s * 60.0
     step_ms = best_s / n_steps * 1e3
 
+    # Accelerated-sampling extra: the DDIM path at K steps (same denoiser
+    # per step, ~1000/K the cost). BENCH_DDIM=0 disables.
+    ddim_extra = {}
+    if os.environ.get("BENCH_DDIM", "1") == "1":
+        from genie2_tpu.sampling import ddim_sample
+
+        k = int(os.environ.get("BENCH_DDIM_STEPS", "50"))
+
+        def run_ddim(key):
+            out = ddim_sample(apply_fn, params, schedule, feats, key, k, n_steps)
+            return float(jnp.sum(out))
+
+        run_ddim(jax.random.PRNGKey(7))  # compile
+        t_d = time.perf_counter()
+        run_ddim(jax.random.PRNGKey(8))
+        d_s = time.perf_counter() - t_d
+        ddim_extra = {
+            f"ddim{k}_samples_per_min": round(batch / d_s * 60.0, 2),
+            f"ddim{k}_step_ms": round(d_s / k * 1e3, 2),
+        }
+
     result = {
         "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",
         "value": round(samples_per_min, 3),
@@ -137,6 +158,7 @@ def main():
             "compile_and_first_run_s": round(compile_and_first_run_s, 1),
             "compute_dtype": dtype,
             "device": str(jax.devices()[0]),
+            **ddim_extra,
         },
     }
     print(json.dumps(result), flush=True)
