@@ -82,8 +82,9 @@ def main():
                         help="Sequence-shard each sample's pair tensor over "
                              "this many devices (2-D ('data','seq') mesh)")
     parser.add_argument("--num_devices", type=int, default=-1,
-                        help="Data-mesh size to shard sample batches over "
-                             "(-1 = all devices, 1 = no sharding)")
+                        help="Total devices for the mesh (-1 = all, 1 = no "
+                             "sharding); sample batches shard over the data "
+                             "axis (data size = num_devices / mesh_seq)")
     run_tasks(parser.parse_args())
 
 

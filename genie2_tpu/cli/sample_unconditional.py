@@ -114,8 +114,9 @@ def main():
                              "this many devices (2-D ('data','seq') mesh; "
                              "long-context inference past one chip's HBM)")
     parser.add_argument("--num_devices", type=int, default=-1,
-                        help="Data-mesh size to shard sample batches over "
-                             "(-1 = all devices, 1 = no sharding)")
+                        help="Total devices for the mesh (-1 = all, 1 = no "
+                             "sharding); sample batches shard over the data "
+                             "axis (data size = num_devices / mesh_seq)")
     parser.add_argument("--sequential_order", action="store_true",
                         help="Run in decreasing order of length")
     parser.add_argument("--pack", action="store_true",

@@ -62,6 +62,11 @@ def main(args):
 
     limit = 16 if args.test else None
     dataset = build_dataset(train_names, "parsed_cache.npz", limit)
+    if dataset is None:
+        raise FileNotFoundError(
+            f"no training structures found under {config.io['datadir']!r} "
+            f"(split listed {len(train_names)} names)"
+        )
     val_dataset = build_dataset(val_names or [], "parsed_cache_val.npz", limit)
     print(
         f"dataset: {len(dataset)} train / "

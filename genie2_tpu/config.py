@@ -58,7 +58,15 @@ class Config:
     def __init__(self, filename: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None):
         raw = {} if filename is None else load_config_file(filename)
         if overrides:
-            raw.update(overrides)
+            # String override values go through the same parser as file
+            # values, so overrides={"remat": "False"} behaves like the
+            # config line `remat False` (bool("False") is True otherwise).
+            raw.update(
+                {
+                    k: _parse_value(v) if isinstance(v, str) else v
+                    for k, v in overrides.items()
+                }
+            )
         self._build(raw)
 
     def _build(self, c: Dict[str, Any]):

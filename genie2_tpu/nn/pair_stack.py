@@ -71,6 +71,7 @@ class TriangleMultiplicativeUpdate(nn.Module):
             and not self.is_initializing()
             and res_mask is not None
             and z.shape[1] % 128 == 0  # kernel tiling constraint
+            and self.c_hidden % 8 == 0  # channel-grid tiling constraint
         ):
             from genie2_tpu.ops.trimul_fused import trimul_fused
 

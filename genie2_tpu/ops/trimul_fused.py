@@ -178,6 +178,8 @@ def contract_cm_fullk(a_cm, b_cm, outgoing: bool = True, interpret: bool = False
     interpret = interpret or _FORCE_INTERPRET
     B, H, N, _ = a_cm.shape
     CB = 8
+    if H % CB:
+        raise ValueError(f"hidden dim {H} must be a multiple of {CB}")
     grid = (B, H // CB)
     spec = pl.BlockSpec((1, CB, N, N), lambda b, c: (b, c, 0, 0))
     return pl.pallas_call(
@@ -201,8 +203,11 @@ def _contract_kernel_km(a_ref, b_ref, o_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def contract_cm_fullk_km(a_cm, b_km, interpret: bool = False):
     """a [B,H,I,K] x b [B,H,K,J] -> [B,H,I,J] (rhs stored k-major)."""
+    interpret = interpret or _FORCE_INTERPRET
     B, H, N, _ = a_cm.shape
     CB = 8
+    if H % CB:
+        raise ValueError(f"hidden dim {H} must be a multiple of {CB}")
     grid = (B, H // CB)
     spec = pl.BlockSpec((1, CB, N, N), lambda b, c: (b, c, 0, 0))
     return pl.pallas_call(

@@ -36,6 +36,11 @@ def create_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data == -1:
         n_data = len(devices) // n_seq
+    if n_data < 1:
+        raise ValueError(
+            f"mesh needs at least {max(n_seq, 1)} devices "
+            f"({n_seq=}), have {len(devices)}"
+        )
     if n_seq == 1:
         return Mesh(np.array(devices[:n_data]), ("data",))
     if n_data * n_seq > len(devices):
@@ -57,6 +62,12 @@ def mesh_from_arg(num_devices: int = -1, n_seq: int = 1) -> Optional[Mesh]:
     inference)."""
     n = len(jax.devices()) if num_devices == -1 else num_devices
     if n <= 1:
+        if n_seq > 1:
+            # An explicit sharding request must not be silently ignored.
+            raise ValueError(
+                f"--mesh_seq {n_seq} needs at least {n_seq} devices; "
+                f"--num_devices resolves to {n}"
+            )
         return None
     if n > len(jax.devices()):
         raise ValueError(f"--num_devices {n} > available {len(jax.devices())}")

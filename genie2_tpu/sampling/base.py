@@ -207,6 +207,7 @@ class BaseSampler(ABC):
                 ddim_steps,
                 self.schedule.n_timestep,
                 eta=float(params.get("ddim_eta", 0.0)),
+                scale=float(params["scale"]),
                 sample_ids=ids,
             )
         else:

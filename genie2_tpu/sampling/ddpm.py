@@ -183,11 +183,12 @@ def ancestral_sample_with_trajectory(
 
 
 def ddim_schedule(n_timestep: int, n_steps: int) -> np.ndarray:
-    """[K, 2] (t, t_prev) pairs: K evenly spaced steps from T down, ending
-    at t_prev = 0 (the clean state)."""
+    """[K, 2] (t, t_prev) pairs: K evenly spaced steps STARTING at T (the
+    first model call must see x_T at its true noise level) and ending at
+    t_prev = 0 (the clean state)."""
     if not 1 <= n_steps <= n_timestep:
         raise ValueError(f"ddim steps {n_steps} not in [1, {n_timestep}]")
-    ts = np.unique(np.linspace(1, n_timestep, n_steps).round().astype(np.int64))[::-1]
+    ts = np.unique(np.linspace(n_timestep, 1, n_steps).round().astype(np.int64))[::-1]
     return np.stack([ts, np.concatenate([ts[1:], [0]])], axis=1)
 
 
@@ -202,6 +203,7 @@ def _ddim_segment(
     sample_ids: jnp.ndarray,
     step_pairs: jnp.ndarray,
     eta: jnp.ndarray,
+    scale: jnp.ndarray,
 ):
     mask = features["residue_mask"].astype(trans.dtype)[..., None]
     n_res = trans.shape[1]
@@ -213,7 +215,10 @@ def _ddim_segment(
         tp_vec = jnp.full((batch,), t_prev, dtype=jnp.int32)
         rots = frenet_frames(trans, features["chain_index"], features["residue_mask"])
         eps = apply_fn(params, Rigid(rots, trans), t_vec, features)["z"]
-        noise = step_noise(key, sample_ids, t, n_res)
+        # The gamma low-temperature knob applies to the injected noise
+        # exactly as in the ancestral loop (base.py:269-272); with eta=0
+        # (no injected noise) it is a no-op by construction.
+        noise = step_noise(key, sample_ids, t, n_res) * scale
         next_trans = (
             ddim_step_from_eps(schedule, trans, t_vec, tp_vec, eps, noise, eta) * mask
         )
@@ -231,12 +236,15 @@ def ddim_sample(
     n_steps: int,
     n_timestep: int,
     eta: float = 0.0,
+    scale: float = 1.0,
     steps_per_dispatch: Optional[int] = DEFAULT_STEPS_PER_DISPATCH,
     sample_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Accelerated DDIM sampling over an n_steps subsequence of the T-step
     schedule (10-50 steps give usable backbones at ~T/n_steps the cost).
-    Same per-(sample, step) RNG discipline as ancestral_sample — results are
+    `scale` is the ancestral loop's gamma noise-temperature knob applied to
+    the eta-controlled injected noise (irrelevant at eta=0). Same
+    per-(sample, step) RNG discipline as ancestral_sample — results are
     independent of batch composition, segmentation and mesh."""
     if sample_ids is None:
         sample_ids = default_sample_ids(features)
@@ -246,7 +254,7 @@ def ddim_sample(
     for i in range(0, len(pairs), k):
         trans = _ddim_segment(
             apply_fn, params, schedule, features, trans, key, sample_ids,
-            jnp.asarray(pairs[i : i + k]), jnp.float32(eta),
+            jnp.asarray(pairs[i : i + k]), jnp.float32(eta), jnp.float32(scale),
         )
     return trans
 

@@ -34,6 +34,16 @@ class TestDDIMSchedule:
         pairs = ddim_schedule(10, 10)
         np.testing.assert_array_equal(pairs[:, 0], np.arange(10, 0, -1))
 
+    def test_single_step_starts_at_T(self):
+        """K=1 must make its only model call at t=T (x_T really is pure
+        noise); (1, 0) would ask the model to read noise as nearly-clean."""
+        pairs = ddim_schedule(1000, 1)
+        np.testing.assert_array_equal(pairs, [[1000, 0]])
+
+    def test_always_starts_at_T(self):
+        for k in (2, 7, 100):
+            assert ddim_schedule(1000, k)[0, 0] == 1000
+
     def test_invalid_counts(self):
         with pytest.raises(ValueError):
             ddim_schedule(10, 0)
@@ -124,6 +134,19 @@ class TestDDIMSampling:
             model.apply, params, schedule, feats, key, 5, schedule.n_timestep, eta=1.0
         )
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    def test_scale_tempers_injected_noise(self):
+        """--scale (gamma) applies to the eta-noise exactly as in the
+        ancestral loop: it changes eta>0 runs and is a no-op at eta=0."""
+        model, params, schedule, feats = self._setup()
+        key = jax.random.PRNGKey(5)
+        args = (model.apply, params, schedule, feats, key, 5, schedule.n_timestep)
+        a = ddim_sample(*args, eta=1.0, scale=1.0)
+        b = ddim_sample(*args, eta=1.0, scale=0.3)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+        c = ddim_sample(*args, eta=0.0, scale=1.0)
+        d = ddim_sample(*args, eta=0.0, scale=0.3)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
 
     def test_sampler_cli_path(self, tmp_path):
         """UnconditionalSampler honors ddim_steps/ddim_eta params end-to-end."""
