@@ -2,8 +2,11 @@
 
 Counterpart of /root/reference/genie/sample_scaffold.py: one task per motif
 problem PDB in --datadir, outputs under `{outdir}/motif={name}/pdbs` and
-`motif_pdbs` (sample_scaffold.py:103-106). `--strength` is accepted for CLI
-parity; as in the reference it is unused downstream (:161).
+`motif_pdbs` (sample_scaffold.py:103-106). `--strength` keeps the
+reference's flag but actually works here: strength > 0 applies
+classifier-free guidance eps_u + (1+s)(eps_c - eps_u) with the motif masks
+zeroed for the unconditional branch (the reference defines the flag and
+never uses it, :161; 0 = plain conditional model, one model call/step).
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ def run_tasks(args):
                     "prefix": motif_name,
                     "offset": offset,
                     "filepath": path,
+                    "strength": getattr(args, "strength", 0),
                     "seed": args.seed,
                     "ddim_steps": getattr(args, "ddim_steps", 0),
                     "ddim_eta": getattr(args, "ddim_eta", 0.0),
@@ -64,7 +68,8 @@ def main():
     parser.add_argument("--scale", type=float, required=True, help="Sampling noise scale")
     parser.add_argument("--outdir", type=str, required=True, help="Output directory")
     parser.add_argument("--strength", type=float, default=0,
-                        help="Classifier-free strength (unused; CLI parity)")
+                        help="Classifier-free guidance strength (0 = plain "
+                             "conditional; >0 doubles model calls per step)")
     parser.add_argument("--num_samples", type=int, default=100, help="Samples per problem")
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--motif_name", type=str, default=None)

@@ -95,6 +95,28 @@ class BaseSampler(ABC):
 
         return fn
 
+    def _cfg_apply_fn(self, strength: float):
+        """Classifier-free-guidance wrapper around apply_fn, cached per
+        strength so the jitted reverse scan compiles once per value (the
+        scan treats apply_fn as a static argument)."""
+        cache = getattr(self, "_cfg_cache", None)
+        if cache is None:
+            cache = self._cfg_cache = {}
+        if strength not in cache:
+            base_fn = self.apply_fn
+            w = 1.0 + float(strength)
+
+            def cfg_fn(params, ts, t, feats, **kwargs):
+                sub = feats["cfg_uncond"]
+                feats_c = {k: v for k, v in feats.items() if k != "cfg_uncond"}
+                feats_u = {**feats_c, **sub}
+                z_c = base_fn(params, ts, t, feats_c, **kwargs)["z"]
+                z_u = base_fn(params, ts, t, feats_u, **kwargs)["z"]
+                return {"z": z_u + w * (z_c - z_u)}
+
+            cache[strength] = cfg_fn
+        return cache[strength]
+
     # ------------------------------------------------------------------ #
     # Hooks (the reference's abstract surface, base.py:39-129)
     # ------------------------------------------------------------------ #
@@ -194,12 +216,38 @@ class BaseSampler(ABC):
             ids = jnp.asarray(ids)
 
         features["static_pair_bias"] = self._static_bias_fn(self.params, features)
+
+        # Classifier-free guidance (the reference defines --strength but
+        # never uses it, sample_scaffold.py:161; here strength > 0 really
+        # guides): eps = eps_uncond + (1 + strength) * (eps_cond -
+        # eps_uncond), with the unconditional branch = the same features
+        # with the fixed (motif) masks zeroed. strength = 0 is exactly the
+        # plain conditional model (no second model call).
+        strength = float(params.get("strength") or 0.0)
+        if strength > 0:
+            uncond = dict(features)
+            uncond.pop("static_pair_bias", None)
+            uncond["fixed_sequence_mask"] = jnp.zeros_like(
+                features["fixed_sequence_mask"]
+            )
+            uncond["fixed_structure_mask"] = jnp.zeros_like(
+                features["fixed_structure_mask"]
+            )
+            features["cfg_uncond"] = {
+                "fixed_sequence_mask": uncond["fixed_sequence_mask"],
+                "fixed_structure_mask": uncond["fixed_structure_mask"],
+                "static_pair_bias": self._static_bias_fn(self.params, uncond),
+            }
+            apply_fn = self._cfg_apply_fn(strength)
+        else:
+            apply_fn = self.apply_fn
+
         ddim_steps = int(params.get("ddim_steps") or 0)
         if ddim_steps:
             # Accelerated DDIM path (no reference counterpart): a K-step
             # subsequence of the T-step schedule, eta in [0, 1].
             trans = ddim_sample(
-                self.apply_fn,
+                apply_fn,
                 self.params,
                 self.schedule,
                 features,
@@ -212,7 +260,7 @@ class BaseSampler(ABC):
             )
         else:
             trans = ancestral_sample(
-                self.apply_fn,
+                apply_fn,
                 self.params,
                 self.schedule,
                 features,
@@ -224,6 +272,7 @@ class BaseSampler(ABC):
 
         features = dict(features)
         features.pop("static_pair_bias", None)
+        features.pop("cfg_uncond", None)
         features["atom_positions"] = trans
         np_features = to_host(features)
         return debatchify(np_features)[:n_real]
