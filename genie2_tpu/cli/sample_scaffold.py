@@ -53,6 +53,7 @@ def run_tasks(args):
                     "seed": args.seed,
                     "ddim_steps": getattr(args, "ddim_steps", 0),
                     "ddim_eta": getattr(args, "ddim_eta", 0.0),
+                    "dpm_steps": getattr(args, "dpm_steps", 0),
                 }
             )
             offset += batch
@@ -78,6 +79,10 @@ def main():
                              "(0 = full ancestral DDPM; no reference counterpart)")
     parser.add_argument("--ddim_eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE)")
+    parser.add_argument("--dpm_steps", type=int, default=0,
+                        help="Accelerated DPM-Solver++(2M) sampling with this "
+                             "many steps (second-order, deterministic; "
+                             "mutually exclusive with --ddim_steps)")
     parser.add_argument("--datadir", type=str, default="data/design25")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ema", action="store_true",

@@ -46,6 +46,7 @@ def run_packed(args, model, params, config, mesh=None):
                 "seed": args.seed,
                 "ddim_steps": getattr(args, "ddim_steps", 0),
                 "ddim_eta": getattr(args, "ddim_eta", 0.0),
+                    "dpm_steps": getattr(args, "dpm_steps", 0),
             }
         )
     print(f"packed sweep: {len(tasks)} samples done", flush=True)
@@ -86,6 +87,7 @@ def run_tasks(args):
                     "seed": args.seed,
                     "ddim_steps": getattr(args, "ddim_steps", 0),
                     "ddim_eta": getattr(args, "ddim_eta", 0.0),
+                    "dpm_steps": getattr(args, "dpm_steps", 0),
                 }
             )
             offset += batch
@@ -126,6 +128,10 @@ def main():
                              "(0 = full ancestral DDPM; no reference counterpart)")
     parser.add_argument("--ddim_eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE)")
+    parser.add_argument("--dpm_steps", type=int, default=0,
+                        help="Accelerated DPM-Solver++(2M) sampling with this "
+                             "many steps (second-order, deterministic; "
+                             "mutually exclusive with --ddim_steps)")
     run_tasks(parser.parse_args())
 
 

@@ -14,6 +14,7 @@ from genie2_tpu.sampling.unconditional import (
 from genie2_tpu.sampling.scaffold import ScaffoldSampler
 from genie2_tpu.sampling.smc import SMCSampler, TDSTrace, tds_sample
 from genie2_tpu.sampling.motif_target import load_motif_target, parse_motif_target_pdb
+from genie2_tpu.sampling.dpm_solver import dpm_solver_sample
 from genie2_tpu.sampling.feynman_kac import FKResult, smc_feynman_kac
 from genie2_tpu.sampling.sse_guided import soft_sse_fraction, sse_guided_sample
 from genie2_tpu.sampling.resampling import (
@@ -38,6 +39,7 @@ __all__ = [
     "ancestral_sample_with_trajectory",
     "ddim_sample",
     "ddim_schedule",
+    "dpm_solver_sample",
     "reverse_step",
     "UnconditionalSampler",
     "PackedUnconditionalSampler",
