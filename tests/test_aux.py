@@ -87,6 +87,51 @@ class TestSecStruct:
         assert assign_secstruct(np.zeros((3, 3))).tolist() == ["c"] * 3
 
 
+class TestEvalDesigns:
+    """tools/eval_designs.py — the native quick-eval the reference defers
+    to an external repo for."""
+
+    def _write_pdb(self, path, coords):
+        from genie2_tpu.features import create_empty_features, save_features_to_pdb
+
+        f = create_empty_features([len(coords)])
+        f["atom_positions"] = np.asarray(coords, np.float32)
+        f["aatype"][:, 0] = 1
+        save_features_to_pdb(f, str(path))
+
+    def _harness(self):
+        import importlib.util
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "eval_designs", os.path.join(repo, "tools", "eval_designs.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_stats_on_ideal_helix_and_strand(self, tmp_path):
+        ev = self._harness()
+        self._write_pdb(tmp_path / "h.pdb", ideal_helix(30))
+        self._write_pdb(tmp_path / "s.pdb", ideal_strand(30))
+        rows = {r["file"]: r for r in ev.evaluate_dir(str(tmp_path))}
+        h, s = rows["h.pdb"], rows["s.pdb"]
+        assert h["helix_frac"] > 0.6 and h["strand_frac"] < 0.2
+        assert s["strand_frac"] > 0.5
+        # Ideal helix CA spacing is ~3.8-4.1 A; strand zigzag ~3.5 A.
+        assert 3.0 < h["bond_mean"] < 4.5
+        assert h["bond_frac_ok"] == 1.0
+        assert h["clash_frac"] < 0.2  # helix i,i+3/i+4 are ~5-6 A apart
+        assert s["clash_frac"] == 0.0
+        assert s["rg"] > h["rg"]  # extended strand is less compact
+
+    def test_empty_dir_raises(self, tmp_path):
+        ev = self._harness()
+        with pytest.raises(FileNotFoundError):
+            ev.evaluate_dir(str(tmp_path))
+
+
 class TestEMA:
     def test_converges_to_constant(self):
         state = ema_init(jnp.zeros(3))
