@@ -201,6 +201,23 @@ def test_sample_scaffold_cli_multidevice_matches_single(release_dir, tmp_path):
     assert outs[1] == outs[8]
 
 
+def test_sample_sse_cli(release_dir, tmp_path, capsys):
+    """SSE-guided CLI end-to-end: particles out, summary line, valid PDBs."""
+    from genie2_tpu.cli.sample_sse import run
+
+    args = argparse.Namespace(
+        name="vcli", epoch=1, rootdir=release_dir, outdir=str(tmp_path / "out"),
+        length=16, num_particles=4, target="helix", strength=10.0,
+        scale=0.6, ess_threshold=0.5, seed=0, ema=False,
+    )
+    run(args)
+    out = capsys.readouterr().out
+    assert "target=helix" in out and "ess(min/mean)" in out
+    for i in range(4):
+        pdb = (tmp_path / "out" / "pdbs" / f"16_{i}.pdb").read_text()
+        assert pdb.startswith("ATOM")
+
+
 def test_sample_scaffold_cli_missing_dir(release_dir, tmp_path):
     from genie2_tpu.cli.sample_scaffold import run_tasks
 
