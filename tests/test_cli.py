@@ -201,6 +201,23 @@ def test_sample_scaffold_cli_multidevice_matches_single(release_dir, tmp_path):
     assert outs[1] == outs[8]
 
 
+def test_sample_unconditional_cli_packed_ddim(release_dir, tmp_path):
+    """Packed length sweep composes with the accelerated DDIM path."""
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    args = argparse.Namespace(
+        name="vcli", epoch=1, rootdir=release_dir, scale=0.6,
+        outdir=str(tmp_path / "out"), num_samples=1, batch_size=4,
+        min_length=12, max_length=18, length_step=2, seed=0,
+        num_devices=-1, sequential_order=False, pack=True,
+        ddim_steps=3, ddim_eta=0.5,
+    )
+    run_tasks(args)
+    for l in (12, 14, 16, 18):
+        pdb = (tmp_path / "out" / "pdbs" / f"{l}_0.pdb").read_text()
+        assert pdb.startswith("ATOM")
+
+
 def test_sample_sse_cli(release_dir, tmp_path, capsys):
     """SSE-guided CLI end-to-end: particles out, summary line, valid PDBs."""
     from genie2_tpu.cli.sample_sse import run
