@@ -1,0 +1,51 @@
+"""Checkpoint conversion CLI: torch Lightning .ckpt -> orbax directory.
+
+The loaders already convert torch checkpoints transparently on every load
+(utils/model_io.load_params); this CLI does the conversion ONCE so
+production inference never pays the torch import + conversion cost, and
+torch stops being a runtime dependency:
+
+    python -m genie2_tpu.cli.convert_checkpoint epoch.30.ckpt epoch.30.orbax.ckpt
+
+The output directory drops into either checkpoint layout (rename to
+`epoch.{E}.ckpt` in a release `checkpoints/` dir). Counterpart of the
+reference's Lightning `load_from_checkpoint` distribution flow
+(model_io.py:137-173 + git-LFS .ckpt files) for a jax-native deployment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def run(args):
+    import jax
+
+    from genie2_tpu.utils.model_io import save_params
+    from genie2_tpu.utils.torch_convert import load_torch_checkpoint
+
+    if not os.path.isfile(args.src):
+        raise FileNotFoundError(args.src)
+    variables = load_torch_checkpoint(args.src)
+    n_arrays = len(jax.tree_util.tree_leaves(variables))
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(variables)
+    )
+    save_params(args.dst, variables)
+    print(
+        f"converted {args.src} -> {args.dst}: "
+        f"{n_arrays} arrays, {n_params:,} parameters",
+        flush=True,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("src", help="torch Lightning .ckpt (or raw state_dict)")
+    parser.add_argument("dst", help="output orbax checkpoint directory")
+    run(parser.parse_args())
+
+
+if __name__ == "__main__":
+    main()

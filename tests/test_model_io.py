@@ -195,6 +195,48 @@ class TestTrainer:
         assert int(tuned.state.step) == 0  # fresh optimizer/step
 
 
+class TestConvertCheckpointCLI:
+    def test_torch_to_orbax_roundtrip(self, tmp_path):
+        """convert_checkpoint writes an orbax dir whose arrays equal the
+        on-the-fly converted torch weights."""
+        torch = pytest.importorskip("torch")
+        import argparse
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from genie.model.model import Denoiser as TorchDenoiser
+
+        from genie2_tpu.cli.convert_checkpoint import run
+        from genie2_tpu.utils.torch_convert import load_torch_checkpoint
+        from tests.test_parity_torch import DIMS
+
+        torch.manual_seed(1)
+        tm = TorchDenoiser(**DIMS)
+        src = str(tmp_path / "epoch.5.ckpt")
+        torch.save(
+            {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}},
+            src,
+        )
+        dst = str(tmp_path / "epoch.5.orbax.ckpt")
+        run(argparse.Namespace(src=src, dst=dst))
+        assert os.path.isdir(dst)
+
+        want = load_torch_checkpoint(src)
+        got = load_params(dst, want)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_missing_src_raises(self, tmp_path):
+        import argparse
+
+        from genie2_tpu.cli.convert_checkpoint import run
+
+        with pytest.raises(FileNotFoundError):
+            run(argparse.Namespace(src=str(tmp_path / "nope.ckpt"), dst=str(tmp_path / "o")))
+
+
 class TestEmaCheckpoint:
     def test_load_pretrained_ema(self, tmp_path):
         """--ema loads the weight-EMA release checkpoint epoch.{E}.ema.ckpt."""
