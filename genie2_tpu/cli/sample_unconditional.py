@@ -47,6 +47,7 @@ def run_packed(args, model, params, config, mesh=None):
                 "ddim_steps": getattr(args, "ddim_steps", 0),
                 "ddim_eta": getattr(args, "ddim_eta", 0.0),
                     "dpm_steps": getattr(args, "dpm_steps", 0),
+                    "dump_trajectory_every": getattr(args, "dump_trajectory_every", 0),
             }
         )
     print(f"packed sweep: {len(tasks)} samples done", flush=True)
@@ -88,6 +89,7 @@ def run_tasks(args):
                     "ddim_steps": getattr(args, "ddim_steps", 0),
                     "ddim_eta": getattr(args, "ddim_eta", 0.0),
                     "dpm_steps": getattr(args, "dpm_steps", 0),
+                    "dump_trajectory_every": getattr(args, "dump_trajectory_every", 0),
                 }
             )
             offset += batch
@@ -132,6 +134,9 @@ def main():
                         help="Accelerated DPM-Solver++(2M) sampling with this "
                              "many steps (second-order, deterministic; "
                              "mutually exclusive with --ddim_steps)")
+    parser.add_argument("--dump_trajectory_every", type=int, default=0,
+                        help="Write x_t snapshot PDBs every K steps to "
+                             "outdir/test/ (full-DDPM path only)")
     run_tasks(parser.parse_args())
 
 

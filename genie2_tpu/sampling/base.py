@@ -8,6 +8,7 @@ inner loop is the single jitted scan from genie2_tpu.sampling.ddpm.
 
 from __future__ import annotations
 
+import os
 from abc import ABC, abstractmethod
 from typing import Any, Dict, List, Optional
 
@@ -17,7 +18,11 @@ import numpy as np
 
 from genie2_tpu.diffusion import Schedule
 from genie2_tpu.features import batchify, debatchify, to_device, to_host
-from genie2_tpu.sampling.ddpm import ancestral_sample, ddim_sample
+from genie2_tpu.sampling.ddpm import (
+    ancestral_sample,
+    ancestral_sample_with_trajectory,
+    ddim_sample,
+)
 from genie2_tpu.sampling.dpm_solver import dpm_solver_sample
 
 
@@ -95,6 +100,21 @@ class BaseSampler(ABC):
             return bias.astype(out_dtype)
 
         return fn
+
+    def _write_trajectory(self, params: Dict[str, Any], snapshots, snap_steps):
+        """x_t snapshot PDBs in the reference's test/ fixture filename
+        grammar (xt_predicted_test_{step}.pdb, sample 0 of the batch —
+        smc_sampler_new_new.py:802-812)."""
+        from genie2_tpu.features import create_empty_features, save_features_to_pdb
+
+        dump_dir = os.path.join(params["outdir"], "test")
+        os.makedirs(dump_dir, exist_ok=True)
+        for step, snap in zip(snap_steps, snapshots):
+            f = create_empty_features([snap.shape[1]])
+            f["atom_positions"] = np.asarray(snap[0], dtype=float)
+            save_features_to_pdb(
+                f, os.path.join(dump_dir, f"xt_predicted_test_{step}.pdb")
+            )
 
     def _cfg_apply_fn(self, strength: float):
         """Classifier-free-guidance wrapper around apply_fn, cached per
@@ -275,6 +295,22 @@ class BaseSampler(ABC):
                 scale=float(params["scale"]),
                 sample_ids=ids,
             )
+        elif int(params.get("dump_trajectory_every") or 0):
+            # x_t snapshots every K steps (the reference dev-sampler's
+            # test/ fixture mechanism, smc_sampler_new_new.py:802-812 —
+            # available on every ancestral sampler here, not just SMC).
+            trans, snapshots, snap_steps = ancestral_sample_with_trajectory(
+                apply_fn,
+                self.params,
+                self.schedule,
+                features,
+                key,
+                jnp.float32(params["scale"]),
+                self.schedule.n_timestep,
+                record_every=int(params["dump_trajectory_every"]),
+                sample_ids=ids,
+            )
+            self._write_trajectory(params, snapshots, snap_steps)
         else:
             trans = ancestral_sample(
                 apply_fn,

@@ -148,6 +148,30 @@ class TestDDIMSampling:
         d = ddim_sample(*args, eta=0.0, scale=0.3)
         np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
 
+    def test_trajectory_dump_param(self, tmp_path):
+        """dump_trajectory_every writes xt snapshot PDBs in the reference's
+        test/ fixture grammar from any ancestral sampler."""
+        from tests.test_train import init_model, tiny_config
+        from genie2_tpu.sampling import UnconditionalSampler
+
+        config = tiny_config()
+        feats_np = batchify([create_empty_features([24]) for _ in range(1)])
+        model, params = init_model(config, feats_np)
+        sampler = UnconditionalSampler(model, params, config)
+        sampler.sample(
+            {
+                "scale": 0.6, "outdir": str(tmp_path), "num_samples": 1,
+                "prefix": "24", "offset": 0, "length": 24, "seed": 0,
+                "dump_trajectory_every": 4,
+            }
+        )
+        import glob as _glob
+
+        snaps = sorted(_glob.glob(str(tmp_path / "test" / "xt_predicted_test_*.pdb")))
+        n_t = config.diffusion["n_timestep"]
+        assert len(snaps) == n_t // 4, snaps
+        assert open(snaps[0]).read().startswith("ATOM")
+
     def test_sampler_cli_path(self, tmp_path):
         """UnconditionalSampler honors ddim_steps/ddim_eta params end-to-end."""
         from tests.test_train import init_model, tiny_config
