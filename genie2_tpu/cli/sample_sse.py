@@ -41,7 +41,16 @@ def run(args):
     schedule = Schedule.create(
         config.diffusion["n_timestep"], config.diffusion["schedule"]
     )
-    apply_fn = make_apply_fn(model, config.tpu.get("compute_dtype", "fp32"))
+    # Pre-cast params once (cast_params=False), as BaseSampler does — a
+    # cast inside the FK scan body would re-run every step.
+    from genie2_tpu.nn.policy import cast_floating
+
+    dtype = config.tpu.get("compute_dtype", "fp32")
+    if dtype in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+
+        params = cast_floating(params, jnp.bfloat16)
+    apply_fn = make_apply_fn(model, dtype, cast_params=False)
 
     feats = to_device(
         batchify(

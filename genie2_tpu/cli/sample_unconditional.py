@@ -46,8 +46,8 @@ def run_packed(args, model, params, config, mesh=None):
                 "seed": args.seed,
                 "ddim_steps": getattr(args, "ddim_steps", 0),
                 "ddim_eta": getattr(args, "ddim_eta", 0.0),
-                    "dpm_steps": getattr(args, "dpm_steps", 0),
-                    "dump_trajectory_every": getattr(args, "dump_trajectory_every", 0),
+                "dpm_steps": getattr(args, "dpm_steps", 0),
+                "dump_trajectory_every": getattr(args, "dump_trajectory_every", 0),
             }
         )
     print(f"packed sweep: {len(tasks)} samples done", flush=True)

@@ -11,6 +11,7 @@ from genie2_tpu.features.schema import (
 from genie2_tpu.features.pdb import (
     features_from_pdb,
     parse_pdb,
+    save_coords_to_pdb,
     save_features_to_pdb,
     summarize_pdb,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "to_host",
     "features_from_pdb",
     "parse_pdb",
+    "save_coords_to_pdb",
     "save_features_to_pdb",
     "summarize_pdb",
     "features_from_motif_pdb",

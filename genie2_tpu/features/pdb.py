@@ -115,3 +115,13 @@ def save_features_to_pdb(features: Features, filepath: str):
             line = replace(line, 72, group.ljust(4))
             line = replace(line, 77, "C")
             file.write(line + "\n")
+
+
+def save_coords_to_pdb(coords: np.ndarray, filepath: str):
+    """Write a bare [N, 3] CA trace as a single-chain all-ALA PDB (the
+    snapshot/dump convenience wrapper around save_features_to_pdb)."""
+    from genie2_tpu.features.schema import create_empty_features
+
+    features = create_empty_features([len(coords)])
+    features["atom_positions"] = np.asarray(coords, dtype=float)
+    save_features_to_pdb(features, filepath)

@@ -101,19 +101,25 @@ class BaseSampler(ABC):
 
         return fn
 
-    def _write_trajectory(self, params: Dict[str, Any], snapshots, snap_steps):
+    def _write_trajectory(
+        self, params: Dict[str, Any], snapshots, snap_steps, n_res: int
+    ):
         """x_t snapshot PDBs in the reference's test/ fixture filename
         grammar (xt_predicted_test_{step}.pdb, sample 0 of the batch —
-        smc_sampler_new_new.py:802-812)."""
-        from genie2_tpu.features import create_empty_features, save_features_to_pdb
+        smc_sampler_new_new.py:802-812). Each sample() call gets its own
+        `test/{prefix}_{offset}/` subdir so batches/lengths in a sweep
+        don't clobber each other, and snapshots are trimmed to the real
+        (unpadded) residue count."""
+        from genie2_tpu.features import save_coords_to_pdb
 
-        dump_dir = os.path.join(params["outdir"], "test")
+        dump_dir = os.path.join(
+            params["outdir"], "test", f"{params['prefix']}_{params['offset']}"
+        )
         os.makedirs(dump_dir, exist_ok=True)
         for step, snap in zip(snap_steps, snapshots):
-            f = create_empty_features([snap.shape[1]])
-            f["atom_positions"] = np.asarray(snap[0], dtype=float)
-            save_features_to_pdb(
-                f, os.path.join(dump_dir, f"xt_predicted_test_{step}.pdb")
+            save_coords_to_pdb(
+                np.asarray(snap[0][:n_res]),
+                os.path.join(dump_dir, f"xt_predicted_test_{step}.pdb"),
             )
 
     def _cfg_apply_fn(self, strength: float):
@@ -310,7 +316,10 @@ class BaseSampler(ABC):
                 record_every=int(params["dump_trajectory_every"]),
                 sample_ids=ids,
             )
-            self._write_trajectory(params, snapshots, snap_steps)
+            self._write_trajectory(
+                params, snapshots, snap_steps,
+                int(np.asarray(batch["num_residues"][0]).reshape(-1)[0]),
+            )
         else:
             trans = ancestral_sample(
                 apply_fn,

@@ -187,7 +187,7 @@ def ddim_schedule(n_timestep: int, n_steps: int) -> np.ndarray:
     first model call must see x_T at its true noise level) and ending at
     t_prev = 0 (the clean state)."""
     if not 1 <= n_steps <= n_timestep:
-        raise ValueError(f"ddim steps {n_steps} not in [1, {n_timestep}]")
+        raise ValueError(f"sampler steps {n_steps} not in [1, {n_timestep}]")
     ts = np.unique(np.linspace(n_timestep, 1, n_steps).round().astype(np.int64))[::-1]
     return np.stack([ts, np.concatenate([ts[1:], [0]])], axis=1)
 

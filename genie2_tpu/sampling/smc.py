@@ -386,15 +386,14 @@ class SMCSampler(BaseSampler):
         # (x0_predicted_test_{step}.pdb / xt_predicted_test_{step}.pdb,
         # particle 0).
         if self.snapshots:
-            from genie2_tpu.features import create_empty_features
+            from genie2_tpu.features import save_coords_to_pdb
 
             dump_dir = os.path.join(params["outdir"], "test")
             os.makedirs(dump_dir, exist_ok=True)
+            n_res = self._protein_length
             for step, (x0, xt) in sorted(self.snapshots.items()):
                 for tag, arr in (("x0", x0), ("xt", xt)):
-                    f = create_empty_features([arr.shape[1]])
-                    f["atom_positions"] = np.asarray(arr[0], dtype=float)
-                    save_features_to_pdb(
-                        f,
+                    save_coords_to_pdb(
+                        np.asarray(arr[0][:n_res]),
                         os.path.join(dump_dir, f"{tag}_predicted_test_{step}.pdb"),
                     )

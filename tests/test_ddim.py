@@ -167,10 +167,15 @@ class TestDDIMSampling:
         )
         import glob as _glob
 
-        snaps = sorted(_glob.glob(str(tmp_path / "test" / "xt_predicted_test_*.pdb")))
+        snaps = sorted(
+            _glob.glob(str(tmp_path / "test" / "24_0" / "xt_predicted_test_*.pdb"))
+        )
         n_t = config.diffusion["n_timestep"]
         assert len(snaps) == n_t // 4, snaps
-        assert open(snaps[0]).read().startswith("ATOM")
+        text = open(snaps[0]).read()
+        assert text.startswith("ATOM")
+        # Snapshots are trimmed to the real length, not the padding bucket.
+        assert text.count("\n") == 24, text.count("\n")
 
     def test_sampler_cli_path(self, tmp_path):
         """UnconditionalSampler honors ddim_steps/ddim_eta params end-to-end."""

@@ -35,17 +35,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def ca_coords(filepath: str) -> np.ndarray:
-    """All CA coordinates in file order (chains concatenated)."""
+def ca_chains(filepath: str):
+    """Per-chain CA coordinate arrays in file order."""
     from genie2_tpu.features.pdb import parse_pdb
 
     _, chains = parse_pdb(filepath)
-    return np.concatenate([np.asarray(c, np.float64) for c in chains], axis=0)
+    return [np.asarray(c, np.float64) for c in chains]
 
 
-def design_stats(coords: np.ndarray) -> dict:
+def design_stats(chains) -> dict:
+    """Covalent statistics (bonds, SSE) are per-chain — a chain junction is
+    not a bond; clashes and Rg are over the whole complex."""
+    if isinstance(chains, np.ndarray):
+        chains = [chains]
+    coords = np.concatenate(chains, axis=0)
     n = len(coords)
-    d = np.linalg.norm(coords[1:] - coords[:-1], axis=-1)
+    d = np.concatenate(
+        [np.linalg.norm(c[1:] - c[:-1], axis=-1) for c in chains if len(c) > 1]
+        or [np.zeros(0)]
+    )
     pair = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
     i, j = np.triu_indices(n, k=3)
     clashes = float((pair[i, j] < 4.0).mean()) if len(i) else 0.0
@@ -53,7 +61,9 @@ def design_stats(coords: np.ndarray) -> dict:
 
     from genie2_tpu.features.secstruct import sec_struct_frac
 
-    helix, strand, coil = sec_struct_frac(coords)
+    hec = np.array([sec_struct_frac(c) for c in chains], np.float64)
+    weights = np.array([len(c) for c in chains], np.float64)
+    helix, strand, coil = (hec * weights[:, None]).sum(0) / weights.sum()
     return {
         "n_res": n,
         "bond_mean": float(d.mean()) if len(d) else float("nan"),
@@ -80,7 +90,7 @@ def evaluate_dir(outdir: str):
         raise FileNotFoundError(f"no .pdb files under {outdir}")
     rows = []
     for p in paths:
-        stats = design_stats(ca_coords(p))
+        stats = design_stats(ca_chains(p))
         stats["file"] = os.path.relpath(p, outdir)
         rows.append(stats)
     return rows
