@@ -222,3 +222,33 @@ class TestSMCEndToEnd:
             for tag in ("x0", "xt"):
                 p = str(tmp_path / "out" / "test" / f"{tag}_predicted_test_{step}.pdb")
                 assert os.path.exists(p), p
+
+    def test_bf16_agrees_with_fp32_on_placement(self, tmp_path):
+        """The production bf16 mode (computeDtype bf16) must infer the same
+        motif placement as fp32 — measured 1.4x faster on the real chip
+        (BENCH_NOTES.md TDS section)."""
+        motif_dir = tmp_path / "motifs"
+        motif_dir.mkdir()
+        open(str(motif_dir / "0_test.pdb"), "w").write(MOTIF_TARGET_PDB)
+
+        placements = {}
+        for dtype in ("fp32", "bf16"):
+            config = tiny_config(n_timestep=6)
+            config.tpu["compute_dtype"] = dtype
+            model, params = make_model_and_params(config, length=24)
+            sampler = SMCSampler(model, params, config)
+            sampler.untwist_below = 2
+            sampler.sample(
+                {
+                    "scale": 1.0,
+                    "outdir": str(tmp_path / f"out_{dtype}"),
+                    "num_samples": 4,
+                    "prefix": "24",
+                    "offset": 0,
+                    "motif_index": 0,
+                    "motif_dir": str(motif_dir),
+                },
+                key=jax.random.PRNGKey(5),
+            )
+            placements[dtype] = sampler.final_placement
+        assert placements["bf16"] == placements["fp32"], placements
