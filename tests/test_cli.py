@@ -16,7 +16,7 @@ from tests.test_sampler import tiny_config, make_model_and_params
 
 @pytest.fixture(scope="module")
 def release_dir(tmp_path_factory):
-    """results/<name>/{configuration, checkpoints/epoch.1.ckpt}."""
+    """results/<name>/{configuration, checkpoints/epoch.1[.ema].ckpt}."""
     root = tmp_path_factory.mktemp("results")
     base = root / "vcli"
     (base / "checkpoints").mkdir(parents=True)
@@ -43,6 +43,9 @@ def release_dir(tmp_path_factory):
     config = tiny_config()
     model, params = make_model_and_params(config)
     save_params(str(base / "checkpoints" / "epoch.1.ckpt"), jax.device_get(params))
+    # A distinguishable weight-EMA variant for the --ema path.
+    ema = jax.tree_util.tree_map(lambda x: x * 0.5, jax.device_get(params))
+    save_params(str(base / "checkpoints" / "epoch.1.ema.ckpt"), ema)
     return str(root)
 
 
@@ -58,6 +61,26 @@ def test_sample_unconditional_cli(release_dir, tmp_path):
     run_tasks(args)
     for l in (14, 16):
         assert os.path.exists(str(tmp_path / "out" / "pdbs" / f"{l}_0.pdb"))
+
+
+def test_sample_unconditional_cli_ema(release_dir, tmp_path):
+    """--ema loads the weight-EMA checkpoint and produces different (but
+    valid) outputs from the raw weights."""
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    outs = {}
+    for ema in (False, True):
+        outdir = tmp_path / ("ema" if ema else "raw")
+        args = argparse.Namespace(
+            name="vcli", epoch=1, rootdir=release_dir, scale=0.6,
+            outdir=str(outdir), num_samples=1, batch_size=1,
+            min_length=16, max_length=16, length_step=2, seed=0,
+            num_devices=1, sequential_order=True, pack=False, ema=ema,
+        )
+        run_tasks(args)
+        outs[ema] = (outdir / "pdbs" / "16_0.pdb").read_bytes()
+    assert outs[True] != outs[False]
+    assert outs[True].startswith(b"ATOM")
 
 
 def test_sample_unconditional_cli_packed(release_dir, tmp_path):
