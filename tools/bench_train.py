@@ -24,8 +24,11 @@ def main():
     from genie2_tpu.train import create_train_state, make_train_step, synthetic_dataset
     from genie2_tpu.utils.model_io import init_params
 
-    dtype = os.environ.get("TRAIN_DTYPE", "fp32")
-    batch = int(os.environ.get("TRAIN_BATCH", "4"))
+    # Production point: bf16 + batch 1 (B=1 is the measured per-chip
+    # throughput optimum, BENCH_NOTES.md round 2; the mesh supplies
+    # global batch). Override with TRAIN_DTYPE / TRAIN_BATCH.
+    dtype = os.environ.get("TRAIN_DTYPE", "bf16")
+    batch = int(os.environ.get("TRAIN_BATCH", "1"))
     length = int(os.environ.get("TRAIN_LEN", "256"))
     n_steps = int(os.environ.get("TRAIN_STEPS", "20"))
 
