@@ -236,3 +236,33 @@ class TestScaffoldSampler:
         assert max(deltas) > 1e-4, deltas
         for f in guided:
             assert np.isfinite(f["atom_positions"]).all()
+
+    def test_cfg_composes_with_accelerated_samplers(self, tmp_path):
+        """strength > 0 guides through the DDIM and DPM paths too (the CFG
+        wrapper replaces apply_fn for whichever solver runs)."""
+        spec_path = str(tmp_path / "motif.pdb")
+        open(spec_path, "w").write(MOTIF_SPEC_PDB + _motif_atoms())
+
+        config = tiny_config()
+        model, params = make_model_and_params(config)
+        sampler = ScaffoldSampler(model, params, config)
+
+        def run(strength, **extra):
+            sampler._rng = np.random.default_rng(13)
+            return sampler.sample(
+                {
+                    "scale": 0.4, "outdir": str(tmp_path / "o"),
+                    "num_samples": 1, "prefix": "m", "offset": 0,
+                    "filepath": spec_path, "strength": strength, **extra,
+                },
+                key=jax.random.PRNGKey(7),
+            )
+
+        for solver in ({"ddim_steps": 3}, {"dpm_steps": 3}):
+            plain = run(0, **solver)
+            cfg = run(2.0, **solver)
+            delta = np.abs(
+                plain[0]["atom_positions"] - cfg[0]["atom_positions"]
+            ).max()
+            assert delta > 1e-4, (solver, delta)
+            assert np.isfinite(cfg[0]["atom_positions"]).all()
