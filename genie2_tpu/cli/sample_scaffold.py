@@ -55,6 +55,7 @@ def run_tasks(args):
                     "ddim_eta": getattr(args, "ddim_eta", 0.0),
                     "dpm_steps": getattr(args, "dpm_steps", 0),
                     "dump_trajectory_every": getattr(args, "dump_trajectory_every", 0),
+                    "fast_spacing": getattr(args, "fast_spacing", "uniform"),
                 }
             )
             offset += batch
@@ -87,6 +88,11 @@ def main():
     parser.add_argument("--dump_trajectory_every", type=int, default=0,
                         help="Write x_t snapshot PDBs every K steps to "
                              "outdir/test/ (full-DDPM path only)")
+    parser.add_argument("--fast_spacing", choices=("uniform", "sqrt"),
+                        default="uniform",
+                        help="Step spacing for --ddim_steps/--dpm_steps: "
+                             "sqrt concentrates steps at high noise "
+                             "(more robust on weaker models)")
     parser.add_argument("--datadir", type=str, default="data/design25")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ema", action="store_true",

@@ -273,6 +273,7 @@ class BaseSampler(ABC):
         dpm_steps = int(params.get("dpm_steps") or 0)
         if ddim_steps and dpm_steps:
             raise ValueError("ddim_steps and dpm_steps are mutually exclusive")
+        spacing = str(params.get("fast_spacing") or "uniform")
         if dpm_steps:
             # Second-order multistep (DPM-Solver++ 2M): better fidelity
             # than DDIM at the same aggressive step count, deterministic.
@@ -284,6 +285,7 @@ class BaseSampler(ABC):
                 key,
                 dpm_steps,
                 self.schedule.n_timestep,
+                spacing=spacing,
                 sample_ids=ids,
             )
         elif ddim_steps:
@@ -299,6 +301,7 @@ class BaseSampler(ABC):
                 self.schedule.n_timestep,
                 eta=float(params.get("ddim_eta", 0.0)),
                 scale=float(params["scale"]),
+                spacing=spacing,
                 sample_ids=ids,
             )
         elif int(params.get("dump_trajectory_every") or 0):

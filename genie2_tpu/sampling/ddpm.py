@@ -182,13 +182,28 @@ def ancestral_sample_with_trajectory(
     return trans, snapshots, snap_steps
 
 
-def ddim_schedule(n_timestep: int, n_steps: int) -> np.ndarray:
-    """[K, 2] (t, t_prev) pairs: K evenly spaced steps STARTING at T (the
-    first model call must see x_T at its true noise level) and ending at
-    t_prev = 0 (the clean state)."""
+def ddim_schedule(
+    n_timestep: int, n_steps: int, spacing: str = "uniform"
+) -> np.ndarray:
+    """[K, 2] (t, t_prev) pairs STARTING at T (the first model call must
+    see x_T at its true noise level) and ending at t_prev = 0 (the clean
+    state).
+
+    spacing="uniform" is the standard DDIM subsequence; "sqrt" concentrates
+    steps at HIGH t (t_i ~ T sqrt(i/K)), which measurably reduces the
+    solver error a weak score field makes on the large early jumps
+    (BENCH_NOTES.md round 2 spacing experiment: bond-statistic deviation
+    shrinks at both K=10 and K=25 on the toy model)."""
     if not 1 <= n_steps <= n_timestep:
         raise ValueError(f"sampler steps {n_steps} not in [1, {n_timestep}]")
-    ts = np.unique(np.linspace(n_timestep, 1, n_steps).round().astype(np.int64))[::-1]
+    u = np.linspace(1.0, 0.0, n_steps, endpoint=False)[::-1]  # (0, 1]
+    if spacing == "uniform":
+        raw = n_timestep * u
+    elif spacing == "sqrt":
+        raw = n_timestep * np.sqrt(u)
+    else:
+        raise ValueError(f"unknown spacing {spacing!r} (uniform|sqrt)")
+    ts = np.unique(np.clip(raw.round().astype(np.int64), 1, n_timestep))[::-1]
     return np.stack([ts, np.concatenate([ts[1:], [0]])], axis=1)
 
 
@@ -237,6 +252,7 @@ def ddim_sample(
     n_timestep: int,
     eta: float = 0.0,
     scale: float = 1.0,
+    spacing: str = "uniform",
     steps_per_dispatch: Optional[int] = DEFAULT_STEPS_PER_DISPATCH,
     sample_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -249,7 +265,7 @@ def ddim_sample(
     if sample_ids is None:
         sample_ids = default_sample_ids(features)
     trans = init_translations(features, key, sample_ids)
-    pairs = ddim_schedule(n_timestep, n_steps)
+    pairs = ddim_schedule(n_timestep, n_steps, spacing)
     k = steps_per_dispatch or len(pairs)
     for i in range(0, len(pairs), k):
         trans = _ddim_segment(

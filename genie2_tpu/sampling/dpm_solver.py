@@ -93,6 +93,7 @@ def dpm_solver_sample(
     key: jax.Array,
     n_steps: int,
     n_timestep: int,
+    spacing: str = "uniform",
     steps_per_dispatch: Optional[int] = DEFAULT_STEPS_PER_DISPATCH,
     sample_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -102,7 +103,7 @@ def dpm_solver_sample(
     if sample_ids is None:
         sample_ids = default_sample_ids(features)
     trans = init_translations(features, key, sample_ids)
-    pairs = ddim_schedule(n_timestep, n_steps)
+    pairs = ddim_schedule(n_timestep, n_steps, spacing)
     carry = (
         trans,
         jnp.zeros_like(trans),  # prev_x0 (unused until have_prev)

@@ -43,6 +43,19 @@ class TestDDIMSchedule:
     def test_always_starts_at_T(self):
         for k in (2, 7, 100):
             assert ddim_schedule(1000, k)[0, 0] == 1000
+            assert ddim_schedule(1000, k, "sqrt")[0, 0] == 1000
+
+    def test_sqrt_spacing_denser_at_high_t(self):
+        """sqrt spacing: step gaps grow toward low t (steps concentrated at
+        high noise, where a weak score field errs most)."""
+        ts = ddim_schedule(1000, 10, "sqrt")[:, 0]
+        gaps = ts[:-1] - ts[1:]
+        assert gaps[0] < gaps[-1], gaps
+        assert ts[-1] >= 1 and ts[0] == 1000
+
+    def test_unknown_spacing_raises(self):
+        with pytest.raises(ValueError, match="spacing"):
+            ddim_schedule(1000, 10, "cosine")
 
     def test_invalid_counts(self):
         with pytest.raises(ValueError):
@@ -134,6 +147,21 @@ class TestDDIMSampling:
             model.apply, params, schedule, feats, key, 5, schedule.n_timestep, eta=1.0
         )
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    def test_fast_spacing_changes_trajectory(self):
+        """The sampler-level spacing param is honored (different
+        subsequence, different deterministic output)."""
+        model, params, schedule, feats = self._setup()
+        key = jax.random.PRNGKey(6)
+        a = ddim_sample(
+            model.apply, params, schedule, feats, key, 4, schedule.n_timestep,
+            spacing="uniform",
+        )
+        b = ddim_sample(
+            model.apply, params, schedule, feats, key, 4, schedule.n_timestep,
+            spacing="sqrt",
+        )
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
 
     def test_scale_tempers_injected_noise(self):
         """--scale (gamma) applies to the eta-noise exactly as in the
