@@ -203,7 +203,18 @@ def ddim_schedule(
         raw = n_timestep * np.sqrt(u)
     else:
         raise ValueError(f"unknown spacing {spacing!r} (uniform|sqrt)")
-    ts = np.unique(np.clip(raw.round().astype(np.int64), 1, n_timestep))[::-1]
+    # Greedy descending de-dup: rounding can collide adjacent timesteps
+    # (likelier with sqrt spacing or small T); instead of dropping them
+    # (which would silently run < n_steps model calls) nudge each collided
+    # step down one. Always valid: n_steps <= n_timestep and raw starts at
+    # exactly T, so ts[i] >= T - i >= 1.
+    raw_desc = np.clip(raw[::-1].round().astype(np.int64), 1, n_timestep)
+    ts = np.empty(n_steps, dtype=np.int64)
+    prev = n_timestep + 1
+    for i, r in enumerate(raw_desc):
+        ts[i] = min(int(r), prev - 1)
+        prev = ts[i]
+    assert ts[-1] >= 1
     return np.stack([ts, np.concatenate([ts[1:], [0]])], axis=1)
 
 

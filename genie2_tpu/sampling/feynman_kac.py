@@ -13,10 +13,11 @@ reference file (whose imports are broken), this driver runs.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from genie2_tpu.sampling.resampling import (
     ess_from_log_weights,
@@ -41,11 +42,17 @@ def smc_feynman_kac(
     n_steps: int,
     n_particles: int,
     ess_threshold: float = 0.5,
+    steps_per_dispatch: Optional[int] = None,
 ) -> FKResult:
     """Run the particle filter for steps n_steps..1.
 
     `init_particles` is any pytree with leading particle axis P;
     resampling gathers along that axis for every leaf.
+
+    `steps_per_dispatch` bounds the length of each compiled scan dispatch
+    (carry threads through host-level segments) — same watchdog-avoidance
+    segmentation as sampling.ddpm; results are segmentation-invariant
+    because RNG advances through the scan carry identically.
     """
     log_w = jnp.zeros((n_particles,), jnp.float32)
 
@@ -76,8 +83,19 @@ def smc_feynman_kac(
         )
         return (particles_out, extra_out, log_w_out, key), (ess, do_resample)
 
-    steps = jnp.arange(n_steps, 0, -1)
-    (particles, extra, log_w, _), (ess_trace, resampled) = jax.lax.scan(
-        body, (init_particles, init_extra, log_w, key), steps
+    @jax.jit
+    def run_segment(carry, seg):
+        return jax.lax.scan(body, carry, seg)
+
+    steps = np.arange(n_steps, 0, -1)
+    k = steps_per_dispatch or n_steps
+    carry = (init_particles, init_extra, log_w, key)
+    ess_parts, res_parts = [], []
+    for i in range(0, n_steps, k):
+        carry, (ess, resampled) = run_segment(carry, jnp.asarray(steps[i : i + k]))
+        ess_parts.append(ess)
+        res_parts.append(resampled)
+    particles, extra, log_w, _ = carry
+    return FKResult(
+        particles, log_w, jnp.concatenate(ess_parts), jnp.concatenate(res_parts)
     )
-    return FKResult(particles, log_w, ess_trace, resampled)

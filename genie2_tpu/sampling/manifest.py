@@ -25,7 +25,20 @@ Placement = Tuple[Tuple[int, int], ...]  # ((start, end), ...) inclusive
 
 
 def _segment_letters(n: int) -> List[str]:
-    return list(string.ascii_uppercase[:n])
+    """Segment labels A..Z, then AA, AB, ... (spreadsheet-style) so >26
+    motif segments get distinct labels instead of being silently dropped
+    by a zip against a truncated list."""
+    labels = []
+    for i in range(n):
+        name = ""
+        k = i
+        while True:
+            name = string.ascii_uppercase[k % 26] + name
+            k = k // 26 - 1
+            if k < 0:
+                break
+        labels.append(name)
+    return labels
 
 
 def placement_contig(

@@ -13,8 +13,9 @@ kernel as the proposal M. The per-step potential is the tempered increment
 which telescopes over the trajectory to exp(strength * h(x_0)) — the FK
 measure tilts the sampler toward structures with the requested SSE content
 while ESS-triggered systematic resampling keeps the particle population
-healthy. Everything runs inside one lax.scan; no gradients through the
-model are needed (unlike TDS motif twisting, sampling/smc.py).
+healthy. The reverse loop runs as watchdog-safe scan segments (default 100
+steps per dispatch, like every other sampler here); no gradients through
+the model are needed (unlike TDS motif twisting, sampling/smc.py).
 
 The soft statistics use canonical CA-geometry signatures (P-SEA thresholds,
 Labesse et al. 1997 — same criteria features/secstruct.py applies as hard
@@ -30,7 +31,11 @@ import jax
 import jax.numpy as jnp
 
 from genie2_tpu.diffusion import Schedule
-from genie2_tpu.sampling.ddpm import init_translations, reverse_step
+from genie2_tpu.sampling.ddpm import (
+    DEFAULT_STEPS_PER_DISPATCH,
+    init_translations,
+    reverse_step,
+)
 from genie2_tpu.sampling.feynman_kac import FKResult, smc_feynman_kac
 
 # (d3 center, d4 center, gaussian width) per SSE class, in Angstrom.
@@ -74,6 +79,7 @@ def sse_guided_sample(
     strength: float = 20.0,
     scale: float = 0.6,
     ess_threshold: float = 0.5,
+    steps_per_dispatch: int = DEFAULT_STEPS_PER_DISPATCH,
 ) -> Tuple[jnp.ndarray, FKResult]:
     """SSE-guided generation: `n_particles` particles through the DDPM
     reverse process reweighted toward the requested SSE class.
@@ -108,6 +114,6 @@ def sse_guided_sample(
 
     result = smc_feynman_kac(
         M, G, trans0, None, key, schedule.n_timestep, n_particles,
-        ess_threshold=ess_threshold,
+        ess_threshold=ess_threshold, steps_per_dispatch=steps_per_dispatch,
     )
     return result.particles, result

@@ -52,6 +52,60 @@ class TestFeynmanKac:
         assert not bool(result.resampled_trace.any())
         np.testing.assert_allclose(np.asarray(result.ess_trace), P, rtol=1e-5)
 
+    def test_segmentation_invariant(self):
+        """steps_per_dispatch (watchdog segmentation) must not change any
+        output: particles, weights, and traces identical to one dispatch."""
+        P = 16
+
+        def M(key, particles, extra, t):
+            return particles + 0.3 * jax.random.normal(key, particles.shape), extra
+
+        def G(new, old, extra, t):
+            return -0.5 * (new[:, 0] - 3.0) ** 2
+
+        init = jnp.zeros((P, 1))
+        key = jax.random.PRNGKey(7)
+        whole = smc_feynman_kac(M, G, init, None, key, 50, P)
+        seg = smc_feynman_kac(M, G, init, None, key, 50, P, steps_per_dispatch=7)
+        np.testing.assert_array_equal(np.asarray(whole.particles), np.asarray(seg.particles))
+        np.testing.assert_array_equal(np.asarray(whole.log_weights), np.asarray(seg.log_weights))
+        np.testing.assert_array_equal(np.asarray(whole.ess_trace), np.asarray(seg.ess_trace))
+        np.testing.assert_array_equal(
+            np.asarray(whole.resampled_trace), np.asarray(seg.resampled_trace)
+        )
+
+
+class TestBenchDiagnosis:
+    def test_simulated_slow_capture_flags_itself(self):
+        """The round-2 driver capture (100.6 ms/step vs 3.62 expected) must
+        flag degraded_environment; a healthy capture must not."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        expected, degraded = bench.diagnose_degraded(100.61, 256, 1, "bf16")
+        assert expected == 3.62 and degraded
+        expected, degraded = bench.diagnose_degraded(3.7, 256, 1, "bf16")
+        assert not degraded
+        # Unknown config: no expectation, never flags.
+        expected, degraded = bench.diagnose_degraded(1e9, 123, 7, "bf16")
+        assert expected is None and not degraded
+
+
+class TestManifestLabels:
+    def test_many_segment_labels_distinct(self):
+        from genie2_tpu.sampling.manifest import _segment_letters
+
+        labels = _segment_letters(60)
+        assert len(labels) == 60 and len(set(labels)) == 60
+        assert labels[:2] == ["A", "B"] and labels[25] == "Z"
+        assert labels[26] == "AA" and labels[27] == "AB"
+
 
 def ideal_helix(n):
     """Ideal alpha-helix CA trace: radius 2.3 A, rise 1.5 A, 100 deg/res."""

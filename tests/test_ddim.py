@@ -53,6 +53,15 @@ class TestDDIMSchedule:
         assert gaps[0] < gaps[-1], gaps
         assert ts[-1] >= 1 and ts[0] == 1000
 
+    def test_exact_step_count_under_rounding_collisions(self):
+        """Rounding collisions (small T, sqrt spacing) must be nudged, not
+        dropped: exactly n_steps distinct, strictly decreasing timesteps."""
+        for T, K, sp in [(20, 15, "sqrt"), (30, 30, "sqrt"), (50, 40, "uniform")]:
+            pairs = ddim_schedule(T, K, sp)
+            ts = pairs[:, 0]
+            assert len(ts) == K, (T, K, sp)
+            assert ts[0] == T and (ts[1:] < ts[:-1]).all() and ts[-1] >= 1
+
     def test_unknown_spacing_raises(self):
         with pytest.raises(ValueError, match="spacing"):
             ddim_schedule(1000, 10, "cosine")
@@ -204,6 +213,26 @@ class TestDDIMSampling:
         assert text.startswith("ATOM")
         # Snapshots are trimmed to the real length, not the padding bucket.
         assert text.count("\n") == 24, text.count("\n")
+
+    def test_trajectory_dump_rejects_solvers(self, tmp_path):
+        """dump_trajectory_every + a K-step solver has no trajectory to
+        snapshot — must raise, not silently skip the dumps."""
+        from tests.test_train import init_model, tiny_config
+        from genie2_tpu.sampling import UnconditionalSampler
+
+        config = tiny_config()
+        feats_np = batchify([create_empty_features([24]) for _ in range(1)])
+        model, params = init_model(config, feats_np)
+        sampler = UnconditionalSampler(model, params, config)
+        base = {
+            "scale": 0.6, "outdir": str(tmp_path), "num_samples": 1,
+            "prefix": "24", "offset": 0, "length": 24, "seed": 0,
+            "dump_trajectory_every": 4,
+        }
+        with pytest.raises(ValueError, match="dump_trajectory_every"):
+            sampler.sample({**base, "ddim_steps": 4})
+        with pytest.raises(ValueError, match="dump_trajectory_every"):
+            sampler.sample({**base, "dpm_steps": 4})
 
     def test_sampler_cli_path(self, tmp_path):
         """UnconditionalSampler honors ddim_steps/ddim_eta params end-to-end."""
