@@ -20,6 +20,8 @@ import os
 
 
 def run(args):
+    import json
+
     import jax
 
     from genie2_tpu.utils.model_io import save_params
@@ -33,9 +35,26 @@ def run(args):
         x.size for x in jax.tree_util.tree_leaves(variables)
     )
     save_params(args.dst, variables)
+    # Stamp provenance so the loaders select the reference-compatible
+    # rot_to_quat method (eigen-decomposition) for these weights. The
+    # round-3 quat-sign study (tools/quat_sign_study.py, BENCH_NOTES.md)
+    # shows torch-eigh signs are LAPACK-arbitrary (~51% agreement with any
+    # convention), so NO jax method reproduces them exactly; "eigh" is the
+    # measured-closest (~58%) and matches the reference's algorithm.
+    meta_path = args.dst.rstrip("/") + ".meta.json"
+    with open(meta_path, "w") as f:
+        json.dump(
+            {
+                "source": "torch_lightning",
+                "source_file": os.path.basename(args.src),
+                "rot_to_quat_method": "eigh",
+            },
+            f,
+        )
     print(
         f"converted {args.src} -> {args.dst}: "
-        f"{n_arrays} arrays, {n_params:,} parameters",
+        f"{n_arrays} arrays, {n_params:,} parameters "
+        f"(metadata: {os.path.basename(meta_path)})",
         flush=True,
     )
 

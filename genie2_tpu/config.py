@@ -149,6 +149,13 @@ class Config:
             # bfloat16 activations with fp32 accumulation ("bf16") or full
             # fp32 ("fp32", parity mode).
             "compute_dtype": c.get("computeDtype", "fp32"),
+            # rot_to_quat extraction in the pair featurizer: "closed"
+            # (canonical-sign Shepperd, the TPU default) or "eigh" (the
+            # reference's eigen-decomposition, affine_utils.py:336-355).
+            # Torch-converted checkpoints stamp their method into
+            # {ckpt}.meta.json and the loaders honor it (BENCH_NOTES.md
+            # round-3 quat-sign study).
+            "rot_to_quat_method": c.get("rotToQuatMethod", "closed"),
             # Use Pallas kernels for the pair stack when available.
             "use_pallas": bool(c.get("usePallas", False)),
             # Data-parallel mesh axis size; -1 = all local devices.

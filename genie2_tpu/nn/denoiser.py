@@ -58,6 +58,9 @@ class Denoiser(nn.Module):
 
     use_pallas: bool = False
     remat: bool = True
+    # rot_to_quat extraction in the pair featurizer ("closed" | "eigh");
+    # torch-converted checkpoints select "eigh" via {ckpt}.meta.json.
+    quat_method: str = "closed"
     # Optional NamedSharding for residue-indexed activations (batch over
     # 'data', first residue axis over 'seq'): sequence-sharding of the
     # O(N^2) pair tensor over a 2-D mesh. None = unsharded (GSPMD still
@@ -80,6 +83,7 @@ class Denoiser(nn.Module):
             max_n_chain=config.io["max_n_chain"],
             use_pallas=config.tpu.get("use_pallas", False),
             remat=config.tpu.get("remat", True),
+            quat_method=config.tpu.get("rot_to_quat_method", "closed"),
             pair_sharding=_pair_sharding(mesh),
         )
 
@@ -119,6 +123,7 @@ class Denoiser(nn.Module):
             template_dist_min=self.template_dist_min,
             template_dist_step=self.template_dist_step,
             template_dist_n_bin=self.template_dist_n_bin,
+            quat_method=self.quat_method,
             name="pair_feature_net",
         )(s, ts, timesteps, features, static_bias=static_pair_bias).astype(
             compute_dtype

@@ -80,6 +80,10 @@ class PairFeatureNet(nn.Module):
     template_dist_min: float
     template_dist_step: float
     template_dist_n_bin: int
+    # "closed" (canonical-sign, TPU default) or "eigh" (the reference's
+    # torch.linalg.eigh path); see geometry/quat.py and the round-3
+    # quat-sign study in BENCH_NOTES.md.
+    quat_method: str = "closed"
 
     def setup(self):
         self.linear_s_p_i = Linear(self.c_p, use_bias=False)
@@ -120,7 +124,7 @@ class PairFeatureNet(nn.Module):
         not R_i^T R_j — and we keep that convention
         (pair_feature_net.py:271-301)."""
         r = jnp.matmul(rots[:, None, :, :, :], rots[:, :, None, :, :])
-        q = rot_to_quat(r)
+        q = rot_to_quat(r, method=self.quat_method)
         pair_mask = mask[:, :, None] * mask[:, None, :]
         return q * pair_mask[..., None].astype(q.dtype)
 

@@ -88,6 +88,7 @@ class BaseSampler(ABC):
             template_dist_min=m.template_dist_min,
             template_dist_step=m.template_dist_step,
             template_dist_n_bin=m.template_dist_n_bin,
+            quat_method=m.quat_method,
         )
         out_dtype = (
             jnp.bfloat16 if self.compute_dtype in ("bf16", "bfloat16") else jnp.float32
@@ -273,6 +274,14 @@ class BaseSampler(ABC):
         dpm_steps = int(params.get("dpm_steps") or 0)
         if ddim_steps and dpm_steps:
             raise ValueError("ddim_steps and dpm_steps are mutually exclusive")
+        if int(params.get("dump_trajectory_every") or 0) and (ddim_steps or dpm_steps):
+            # Snapshots come from the full ancestral scan; a K-step solver
+            # has no 1000-step trajectory to snapshot. Fail loudly instead
+            # of silently dropping the dumps.
+            raise ValueError(
+                "dump_trajectory_every requires the full ancestral sampler; "
+                "it cannot be combined with ddim_steps/dpm_steps"
+            )
         spacing = str(params.get("fast_spacing") or "uniform")
         if dpm_steps:
             # Second-order multistep (DPM-Solver++ 2M): better fidelity

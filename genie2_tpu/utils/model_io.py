@@ -54,6 +54,32 @@ def load_config(rootdir: str, name: str) -> Config:
     return Config(os.path.join(rootdir, name, "configuration"))
 
 
+def checkpoint_metadata(ckpt_path: str) -> Dict[str, Any]:
+    """Sidecar metadata ({ckpt}.meta.json) written by the checkpoint
+    converter: provenance + the rot_to_quat method the weights were
+    trained with (BENCH_NOTES.md round-3 quat-sign study)."""
+    import json
+
+    meta_path = ckpt_path.rstrip("/") + ".meta.json"
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
+def _apply_metadata(config: Config, model: Denoiser, ckpt_path: str, mesh):
+    """Rebuild the model if the checkpoint's stamped metadata overrides a
+    config default (today: rot_to_quat_method for torch-converted
+    weights)."""
+    meta = checkpoint_metadata(ckpt_path)
+    method = meta.get("rot_to_quat_method")
+    if method and method != config.tpu.get("rot_to_quat_method", "closed"):
+        print(f"[model_io] checkpoint metadata selects rot_to_quat={method}")
+        config.tpu["rot_to_quat_method"] = method
+        model = Denoiser.from_config(config, mesh=mesh)
+    return model
+
+
 def init_params(model: Denoiser, config: Config, seed: int = 0):
     """Fresh parameters for a Denoiser (the reference's untrained fallback,
     model_io.py:64-77)."""
@@ -137,6 +163,7 @@ def load_model(
     ckpt_dir = os.path.join(rootdir, name, f"version_{version}", "checkpoints")
     candidates = glob.glob(os.path.join(ckpt_dir, f"epoch={epoch}.ckpt*"))
     print(f"Loading checkpoint: {candidates[0]}")
+    model = _apply_metadata(config, model, candidates[0], mesh)
     return model, load_params(candidates[0], init_params(model, config)), config
 
 
@@ -155,4 +182,5 @@ def load_pretrained_model(
     if not os.path.exists(base):
         raise FileNotFoundError(f"Missing checkpoint: {base}")
     print(f"Loading checkpoint: {base}")
+    model = _apply_metadata(config, model, base, mesh)
     return model, load_params(base, init_params(model, config)), config

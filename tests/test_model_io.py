@@ -228,6 +228,48 @@ class TestConvertCheckpointCLI:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+        # Provenance stamp: converted weights carry the quat method the
+        # torch reference used (BENCH_NOTES.md round-3 quat-sign study).
+        import json
+
+        from genie2_tpu.utils.model_io import checkpoint_metadata
+
+        meta = json.load(open(dst + ".meta.json"))
+        assert meta["rot_to_quat_method"] == "eigh"
+        assert checkpoint_metadata(dst)["source"] == "torch_lightning"
+
+    def test_metadata_selects_eigh_on_load(self, tmp_path):
+        """A release checkpoint with a .meta.json stamp loads a model with
+        the stamped rot_to_quat method (the trained-weight contingency)."""
+        import json
+
+        from genie2_tpu.utils.model_io import load_pretrained_model
+
+        config = tiny_config()
+        model = Denoiser.from_config(config)
+        assert model.quat_method == "closed"  # the TPU default
+        params = jax.device_get(init_params(model, config))
+
+        basedir = str(tmp_path / "m")
+        ckpt_dir = os.path.join(basedir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        TestLayoutDiscovery()._write_config(basedir)
+        ckpt = os.path.join(ckpt_dir, "epoch.3.ckpt")
+        save_params(ckpt, params)
+        json.dump(
+            {"source": "torch_lightning", "rot_to_quat_method": "eigh"},
+            open(ckpt + ".meta.json", "w"),
+        )
+        loaded_model, loaded_params, _ = load_pretrained_model(
+            str(tmp_path), "m", 3
+        )
+        assert loaded_model.quat_method == "eigh"
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(loaded_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_missing_src_raises(self, tmp_path):
         import argparse
 
