@@ -60,14 +60,16 @@ def main(args):
             cache_path=os.path.join(config.io["rootdir"], name, cache_name),
         )
 
+    # Packed on-disk cache (memmap-backed, corpus-scale) is the default;
+    # pre-existing round-2 .npz caches keep working via cache_path=*.npz.
     limit = 16 if args.test else None
-    dataset = build_dataset(train_names, "parsed_cache.npz", limit)
+    dataset = build_dataset(train_names, "parsed_cache", limit)
     if dataset is None:
         raise FileNotFoundError(
             f"no training structures found under {config.io['datadir']!r} "
             f"(split listed {len(train_names)} names)"
         )
-    val_dataset = build_dataset(val_names or [], "parsed_cache_val.npz", limit)
+    val_dataset = build_dataset(val_names or [], "parsed_cache_val", limit)
     print(
         f"dataset: {len(dataset)} train / "
         f"{len(val_dataset) if val_dataset else 0} val structures on "

@@ -4,9 +4,11 @@ Behavioral counterpart of /root/reference/genie/data/dataset.py and
 data_module.py, redesigned for TPU input pressure:
 
   * the reference re-parses every PDB from disk on every epoch
-    (dataset.py:129); here structures are parsed once into an in-memory
-    array cache (optionally persisted as an .npz) and epochs only do
-    numpy mask sampling + padding.
+    (dataset.py:129); here structures are parsed once into a packed
+    on-disk cache (int8/float32 memmap files, train/cache.py — scales to
+    the 588k-structure AFDB corpus with bounded host RAM) and epochs only
+    do memmap slicing + numpy mask sampling + padding. A legacy in-RAM
+    .npz cache remains available for tiny corpora.
   * every batch is padded to the static (max_n_chain, max_n_res) from the
     config — already the reference's invariant — so the training step
     compiles exactly once.
@@ -160,10 +162,19 @@ class MotifAugmentConfig:
 
 
 class StructureDataset:
-    """Parse-once, in-memory dataset with epoch iteration.
+    """Parse-once dataset with epoch iteration.
 
     Each item yields a padded feature dict [max_n_res]; batches are stacked
     numpy dicts ready for `features.to_device`.
+
+    Two cache backends behind one `cache_path`:
+      * a *packed on-disk cache* (any path not ending in .npz — the
+        default): parse once into flat int8/float32 memmap files
+        (train/cache.py) and read items back on demand. Host RSS stays
+        bounded regardless of corpus size — this is the backend that
+        scales to the reference's 588k-structure AFDB corpus, which the
+        round-2 in-RAM list could not hold (~tens of GB).
+      * a legacy `.npz` pickle blob (round-2 format): whole corpus in RAM.
     """
 
     def __init__(
@@ -179,9 +190,24 @@ class StructureDataset:
         self.max_n_chain = max_n_chain
         self.motif = motif
         self._cache: List[Features] = []
+        self._packed = None
         self._load(cache_path)
 
     def _load(self, cache_path: Optional[str]):
+        if cache_path and not cache_path.endswith(".npz"):
+            from genie2_tpu.train.cache import (
+                PackedCache,
+                build_packed_cache_from_files,
+                is_packed_cache,
+            )
+
+            if is_packed_cache(cache_path):
+                self._packed = PackedCache(cache_path)
+            else:
+                self._packed = build_packed_cache_from_files(
+                    self.filepaths, cache_path
+                )
+            return
         if cache_path and os.path.exists(cache_path):
             blob = np.load(cache_path, allow_pickle=True)
             self._cache = list(blob["features"])
@@ -194,11 +220,22 @@ class StructureDataset:
                 cache_path, features=np.array(self._cache, dtype=object)
             )
 
+    @property
+    def _backend(self):
+        # getattr: several tools build bare datasets via __new__ + _cache
+        # (synthetic_dataset and friends) without touching _load.
+        return getattr(self, "_packed", None)
+
     def __len__(self):
-        return len(self._cache)
+        packed = self._backend
+        return len(packed) if packed is not None else len(self._cache)
 
     def get(self, idx: int, rng: np.random.Generator) -> Features:
-        features = self._cache[idx]
+        packed = self._backend
+        if packed is not None:
+            features = packed.load(idx)
+        else:
+            features = self._cache[idx]
         if self.motif is not None and rng.random() <= self.motif.prob:
             features = apply_motif_augmentation(
                 features,
@@ -223,7 +260,7 @@ class StructureDataset:
         Each batch gets a child generator seeded from the master rng, so
         `start_batch` can skip ahead (mid-epoch resume) while reproducing
         exactly the batches an uninterrupted epoch would have produced."""
-        order = rng.permutation(len(self._cache))
+        order = rng.permutation(len(self))
         for b, start in enumerate(range(0, len(order), batch_size)):
             idx = order[start : start + batch_size]
             if drop_last and len(idx) < batch_size:
@@ -252,6 +289,7 @@ def synthetic_dataset(
     ds.max_n_chain = 1
     ds.motif = motif
     ds._cache = []
+    ds._packed = None
     for _ in range(n_structures):
         n = int(rng.integers(min_n_res, max_n_res + 1))
         f = create_empty_features([n])
