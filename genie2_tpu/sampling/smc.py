@@ -274,6 +274,13 @@ class SMCSampler(BaseSampler):
         self.add_required_parameter("motif_dir")
         self.max_offsets = 1000
         self.untwist_below = 50
+        # Below this padded length the TDS gradient runs with pair-stack
+        # remat OFF: the backward fits in HBM and remat is pure recompute
+        # overhead (measured 13.75 -> 9.47 ms/step at L=96, P=4, O=1000,
+        # bf16 — tools/bench_tds_step.py / BENCH_NOTES.md round 3). Remat
+        # stays on for long problems, where the L=256-class backward
+        # spills without it.
+        self.no_remat_below = 128
         # Set to e.g. 50 to dump x0/xt PDB snapshots (the reference's
         # test/ fixtures, smc_sampler_new_new.py:802-812).
         self.dump_trajectory_every = None
@@ -310,23 +317,43 @@ class SMCSampler(BaseSampler):
         features = to_device(batchify([dict(f) for f in host_features]))
         # Particles interact through resampling, so the particle axis is
         # sharded over the mesh (XLA inserts the gather/softmax collectives)
-        # rather than padded; values are identical to single-device.
+        # rather than padded. Placements and resampling decisions match
+        # single-device exactly; coordinates agree to collective-reduction-
+        # order tolerance (~1e-6 — the global grad-norm cap and ESS
+        # logsumexp are genuine cross-particle reductions, so bit-identity
+        # is not achievable, unlike the independent-sample CLIs)
+        # (tests/test_smc.py::test_mesh_sharded_tds_matches_single_device).
+        # Unlike independent-sample batches, a particle cannot be a padded
+        # dummy (it would join the resampling population), so a
+        # non-divisible particle count is an error, not a silent fallback.
         if self.mesh is not None:
             n_particles = params["num_samples"]
-            if n_particles % self.mesh.devices.size == 0:
-                from genie2_tpu.parallel import shard_batch
-
-                features = shard_batch(features, self.mesh)
-            else:
-                print(
-                    f"[smc] num_particles={n_particles} not divisible by "
-                    f"mesh size {self.mesh.devices.size}; running unsharded",
-                    flush=True,
+            if n_particles % self.mesh.devices.size != 0:
+                raise ValueError(
+                    f"num_particles={n_particles} must be divisible by the "
+                    f"mesh size {self.mesh.devices.size} (particles are "
+                    "sharded, not padded — they interact through "
+                    "resampling); pick a divisible particle count or run "
+                    "without --num_devices"
                 )
+            from genie2_tpu.parallel import shard_batch
+
+            features = shard_batch(features, self.mesh)
         features["static_pair_bias"] = self._static_bias_fn(self.params, features)
 
+        # Short problems run the TDS gradient without pair-stack remat
+        # (see setup(): measured 1.45x at the reference benchmark shape).
+        apply_fn = self.apply_fn
+        if self.model.remat and protein_length <= self.no_remat_below:
+            from genie2_tpu.nn.policy import make_apply_fn
+
+            apply_fn = make_apply_fn(
+                self.model.clone(remat=False), self.compute_dtype,
+                cast_params=False,
+            )
+
         trans, final_score, trace, snapshots = tds_sample(
-            self.apply_fn,
+            apply_fn,
             self.params,
             self.schedule,
             features,
