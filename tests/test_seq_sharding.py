@@ -4,9 +4,10 @@ A 2-D ('data', 'seq') mesh shards the O(N^2) pair representation along its
 i-axis via GSPMD sharding constraints (parallel.pair_sharding). These tests
 prove, on the virtual 8-device CPU mesh:
 
-  * the N=256 forward matches the unsharded model (same params),
+  * the N=256 / N=512 / N=1024 forwards match the unsharded model (same
+    params) — 2x/4x the reference's maximumNumResidues cap,
   * the per-device pair-tensor shard is mesh-size-fold smaller (the
-    long-context memory story), and
+    long-context memory story; accounting printed per case), and
   * the training step runs and matches the unsharded loss.
 """
 
@@ -29,9 +30,11 @@ from genie2_tpu.parallel import (
 from genie2_tpu.train import create_train_state, make_train_step, synthetic_dataset
 
 
-def seq_config(n_res):
+def seq_config(n_res, mesh_seq=4, tri_att=True):
     return Config(
         overrides={
+            "meshSeq": mesh_seq,
+            "includeTriangularAttention": str(tri_att),
             "singleFeatureDimension": 16,
             "pairFeatureDimension": 8,
             "positionalEmbeddingDimension": 8,
@@ -40,7 +43,6 @@ def seq_config(n_res):
             "templateDistanceNumBins": 5,
             "numPairTransformLayers": 2,
             "triangularMultiplicativeHiddenDimension": 4,
-            "includeTriangularAttention": True,
             "triangularAttentionHiddenDimension": 4,
             "triangularAttentionNumHeads": 2,
             "numStructureLayers": 1,
@@ -51,7 +53,6 @@ def seq_config(n_res):
             "numTimesteps": 10,
             "maximumNumResidues": n_res,
             "remat": False,
-            "meshSeq": 4,
         }
     )
 
@@ -81,11 +82,27 @@ class TestMeshConstruction:
 
 class TestSeqShardedForward:
     @pytest.mark.slow
-    def test_n256_forward_matches_unsharded(self):
-        """VERDICT #7 done-criterion: N=256 forward matches the unsharded
-        model on an 8-device CPU mesh."""
-        n_res, batch = 256, 2
-        config = seq_config(n_res)
+    @pytest.mark.parametrize(
+        "n_res,batch",
+        [(256, 2), (512, 2), (1024, 1)],
+        ids=["N256", "N512", "N1024"],
+    )
+    def test_forward_matches_unsharded(self, n_res, batch):
+        """Long-context done-criterion (round-2 VERDICT #7 -> round-3 #7):
+        the seq-sharded forward matches the unsharded model on an 8-device
+        CPU mesh at N=256, 512 and 1024 (2x/4x the reference's
+        maximumNumResidues cap), with per-device pair-shard accounting."""
+        # batch=1 cannot shard over 'data'; give all 8 devices to 'seq'
+        # (the deepest long-context split: each device holds 1/8 of the
+        # pair tensor's i-axis). Triangle ATTENTION materializes
+        # O(N^3 * H) logits — 8.6 GB at N=1024 on the unsharded CPU
+        # reference side — so the N=1024 case runs tri-mul only (the
+        # flagship default: includeTriangularAttention False).
+        config = seq_config(
+            n_res,
+            mesh_seq=8 if batch == 1 else 4,
+            tri_att=n_res <= 512,
+        )
         mesh = create_mesh(n_seq=config.tpu["mesh_seq"])
 
         model_plain = Denoiser.from_config(config)  # no mesh -> unsharded
@@ -111,10 +128,18 @@ class TestSeqShardedForward:
 
         # Memory story: the pair rep comes back sharded over both axes, so
         # each device holds a mesh-size-fold smaller shard.
+        n_data, n_seq = mesh.shape["data"], mesh.shape["seq"]
         p = out_seq["p"]
         shard = p.addressable_shards[0].data
-        assert shard.shape == (batch // 2, n_res // 4, n_res, config.model["c_p"])
+        assert shard.shape == (
+            batch // n_data, n_res // n_seq, n_res, config.model["c_p"],
+        )
         assert shard.nbytes * mesh.devices.size == np.prod(p.shape) * p.dtype.itemsize
+        print(
+            f"\n[seq-shard] N={n_res} B={batch} mesh=({n_data},{n_seq}): "
+            f"pair tensor {np.prod(p.shape) * p.dtype.itemsize / 2**20:.1f} MB total, "
+            f"{shard.nbytes / 2**20:.1f} MB/device"
+        )
 
     def test_training_step_with_seq_sharding(self):
         """Gradients flow through the sharding constraints; loss matches the
