@@ -82,10 +82,14 @@ def probe_dispatch_latency_ms(n: int = 5) -> float:
     return min(times) * 1e3
 
 
-def probe_matmul_tf_s(n: int = 2048, iters: int = 32) -> float:
+def probe_matmul_tf_s(
+    n: int = 2048, iters: int = 256, dispatch_floor_s: float = 0.0
+) -> float:
     """Raw chained-matmul MXU rate (bf16), device-resident: distinguishes
-    'the chip is slow' from 'the tunnel is slow'. Healthy chip: >=60 TF/s
-    at this size (the 104 TF/s ceiling needs 4096^3)."""
+    'the chip is slow' from 'the tunnel is slow'. The chain is long enough
+    (~4.4 TFLOP) that compute dominates the fixed per-dispatch latency,
+    which is additionally subtracted (pass the measured floor). Healthy
+    chip: >=60 TF/s at this size (the 104 TF/s ceiling needs 4096^3)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +107,7 @@ def probe_matmul_tf_s(n: int = 2048, iters: int = 32) -> float:
     t0 = time.perf_counter()
     float(chain(a))
     dt = time.perf_counter() - t0
+    dt = max(dt - dispatch_floor_s, dt / 2)
     return 2 * n**3 * iters / dt / 1e12
 
 
@@ -198,7 +203,7 @@ def main():
 
     # Environment self-diagnosis (see module docstring).
     dispatch_ms = probe_dispatch_latency_ms()
-    matmul_tf = probe_matmul_tf_s()
+    matmul_tf = probe_matmul_tf_s(dispatch_floor_s=dispatch_ms / 1e3)
     expected, degraded = diagnose_degraded(step_ms, length, batch, dtype)
 
     # Accelerated-sampling extra: the DDIM path at K steps (same denoiser

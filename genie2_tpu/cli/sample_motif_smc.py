@@ -36,6 +36,8 @@ def run(args):
             "motif_index": args.motif_index,
             "motif_dir": args.motif_dir,
             "seed": args.seed,
+            "twist_rotations": getattr(args, "twist_rotations", False),
+            "rot_tausq": getattr(args, "rot_tausq", 0.1),
         }
     )
     import numpy as np
@@ -67,6 +69,14 @@ def main():
     parser.add_argument("--ema", action="store_true",
                         help="Sample from the weight-EMA checkpoint "
                              "(epoch.{E}.ema.ckpt; no reference counterpart)")
+    parser.add_argument("--twist_rotations", action="store_true",
+                        help="Add the SO(3) rotation term to the twisting "
+                             "potential: condition on motif orientation as "
+                             "well as position (Frenet frames of x0-hat vs "
+                             "the motif's, tangent-normal approximation)")
+    parser.add_argument("--rot_tausq", type=float, default=0.1,
+                        help="tau^2 for the rotation-term x-start variance "
+                             "heuristic (with --twist_rotations)")
     parser.add_argument("--dump_trajectory_every", type=int, default=0,
                         help="Dump x0/xt PDB snapshots every K steps (0 = off)")
     parser.add_argument("--mesh_seq", type=int, default=1,

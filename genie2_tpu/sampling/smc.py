@@ -47,8 +47,10 @@ from genie2_tpu.sampling.resampling import (
 from genie2_tpu.sampling.twisting import (
     enumerate_motif_placements,
     motif_distance,
+    motif_frame_rotations,
     placements_to_positions,
     twisting_log_prob,
+    twisting_log_prob_frames,
     xstart_variance,
 )
 
@@ -90,31 +92,51 @@ def _tds_segment(
     grad_alpha: float = 0.012,
     tausq: float = 0.012,
     ess_frac: float = 0.5,
+    motif_rots: Optional[jnp.ndarray] = None,
+    rot_mask: Optional[jnp.ndarray] = None,
+    rot_tausq: float = 0.1,
 ):
     """One jitted scan segment of the twisted SMC reverse trajectory.
-    carry = (trans, log_proposal, log_w_acc, key)."""
+    carry = (trans, log_proposal, log_w_acc, key).
+
+    With `motif_rots`/`rot_mask` set, the potential gains the SO(3)
+    rotation term (Frenet frames of x-hat-0 vs the motif's frames,
+    Frobenius tangent-normal — the capability of the reference's vendored
+    twisting.py:198-273); jax.grad flows through the frame computation, so
+    the twisted proposal also conditions on motif ORIENTATION, which
+    translation-only TDS cannot."""
     n_particles = features["residue_mask"].shape[0]
     shape = (*features["residue_mask"].shape, 3)
     mask = features["residue_mask"].astype(jnp.float32)[..., None]
 
-    def potential(x, t_vec, var):
+    def potential(x, t_vec, var, rot_var):
         rots = frenet_frames(x, features["chain_index"], features["residue_mask"])
         eps = apply_fn(params, Rigid(rots, x), t_vec, features)["z"]
         x0 = (
             x - schedule.sqrt_one_minus_alphas_cumprod[t_vec][:, None, None] * eps
         ) / schedule.sqrt_alphas_cumprod[t_vec][:, None, None]
-        log_prob, score = twisting_log_prob(x0, positions, motif_target, var)
+        if motif_rots is None:
+            log_prob, score = twisting_log_prob(x0, positions, motif_target, var)
+        else:
+            rots0 = frenet_frames(
+                x0, features["chain_index"], features["residue_mask"]
+            )
+            log_prob, score = twisting_log_prob_frames(
+                x0, rots0, positions, motif_target, var,
+                motif_rots, rot_mask, rot_var,
+            )
         return jnp.sum(log_prob), (x0, log_prob, score)
 
     def body(carry, t):
         trans, log_proposal, log_w_acc, key = carry
         t_vec = jnp.full((n_particles,), t, dtype=jnp.int32)
         var = xstart_variance(schedule.alphas_cumprod[t], tausq)
+        rot_var = xstart_variance(schedule.alphas_cumprod[t], rot_tausq)
 
         # Twisting gradient through the whole denoiser
         # (unconditional_smc.py:467-484: grad of mean * P == grad of sum).
         grad, (x0, log_prob, score) = jax.grad(potential, has_aux=True)(
-            trans, t_vec, var
+            trans, t_vec, var, rot_var
         )
 
         # Norm-capped regularization g <- g * a|g| / (a + |g|) (:485-490).
@@ -205,6 +227,9 @@ def tds_sample(
     ess_frac: float = 0.5,
     steps_per_dispatch: Optional[int] = 100,
     record_every: Optional[int] = None,
+    motif_rots: Optional[jnp.ndarray] = None,
+    rot_mask: Optional[jnp.ndarray] = None,
+    rot_tausq: float = 0.1,
 ):
     """Run the full twisted SMC reverse trajectory, segmented into bounded
     dispatches (the step includes a full backward pass; long single
@@ -251,6 +276,9 @@ def tds_sample(
             grad_alpha=grad_alpha,
             tausq=tausq,
             ess_frac=ess_frac,
+            motif_rots=motif_rots,
+            rot_mask=rot_mask,
+            rot_tausq=rot_tausq,
         )
         traces.append(trace)
         if record_every:
@@ -301,6 +329,16 @@ class SMCSampler(BaseSampler):
         )
         params["length"] = protein_length
         motif_target = np.concatenate(segments, axis=0)
+
+        # Optional SO(3) rotation twisting: condition on motif ORIENTATION
+        # as well as position (the reference's vendored twisting.py
+        # capability, never runnable upstream; off by default for parity
+        # with the production sampler's translation-only potential).
+        motif_rots = rot_mask = None
+        if params.get("twist_rotations"):
+            rots_np, mask_np = motif_frame_rotations(segments)
+            motif_rots = jnp.asarray(rots_np)
+            rot_mask = jnp.asarray(mask_np)
 
         placements = enumerate_motif_placements(
             protein_length,
@@ -364,6 +402,9 @@ class SMCSampler(BaseSampler):
             self.schedule.n_timestep,
             untwist_below=self.untwist_below,
             record_every=self.dump_trajectory_every,
+            motif_rots=motif_rots,
+            rot_mask=rot_mask,
+            rot_tausq=float(params.get("rot_tausq") or 0.1),
         )
 
         self.trace = jax.tree_util.tree_map(np.asarray, trace)
