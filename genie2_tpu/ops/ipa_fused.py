@@ -1,0 +1,260 @@
+"""Fused Invariant Point Attention (flash-style) Pallas kernel.
+
+Round-3 VERDICT item 5: the IPA stack is the only hot op without a kernel
+attempt (~14% of the sampling step; nn/structure.py:23-110, reference
+invariant_point_attention.py:100-261). The kernel fuses, per row tile:
+
+    scalar qk logits + pair bias + point-distance attention + mask +
+    online (flash) softmax + the three value contractions (scalar v,
+    point v_pts, per-row pair rows of z) — without materializing the
+    [H, N, N] probability tensor or the [N, N, H, P_q] point-distance
+    tensor in HBM.
+
+Mosaic constraints discovered while building this (kept for the next
+kernel author):
+  * 3D transposes inside a kernel crash the compiler — all inputs are
+    therefore pre-laid-out HEAD-MAJOR ([H, N, C]) by the XLA wrapper;
+  * batched dot_general requires batch dims leading on BOTH operands
+    ("batch dims must be equal"), and an lhs with no non-contracting
+    dims hits a lowering bug — the per-row pair contraction is a
+    per-head loop of [TI, 1, TJ] x [TI, TJ, Cz] batched dots;
+  * fp32 copies of the z tile blow the 16 MB scoped-VMEM budget at
+    128x128 tiles — the pair contraction runs on bf16 operands with
+    fp32 accumulation.
+The pair bias b = z @ W_b is precomputed in XLA (one [H, N, N] tensor —
+cheap next to the O(N^2 Cz) reads the kernel saves).
+
+Everything outside the j-loop (the five input projections, frame
+application of the points, the inverse frame map / norm / concat /
+linear_out) stays in XLA. Forward-only by design: sampling (the headline
+workload) never differentiates through IPA; training keeps the XLA path.
+A jnp reference implementation lives alongside for numerics tests.
+
+Measured verdict in BENCH_NOTES.md (round 3) — default-off unless it wins
+in-stack, same policy as the TriMul kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_INF = -1e30
+
+
+def _reference_attention(q, k, v, q_pts, k_pts, v_pts, z, wb, bb, hw, mask, inf=1e5):
+    """Pure-jnp transcription of the attention middle of
+    nn/structure.py:InvariantPointAttention (the part the kernel fuses).
+
+    Shapes (no batch axis):
+        q, k, v: [N, H, C];  q_pts, k_pts, v_pts: [N, H, P, 3] (global
+        frame, already frame-applied);  z: [N, N, Cz];  wb: [Cz, H];
+        bb: [H];  hw: [H] (softplus'd head weights);  mask: [N].
+    Returns (o [N, H, C], o_pt [N, H, P_v, 3] global, o_pair [N, H, Cz]).
+    """
+    h, c = q.shape[-2], q.shape[-1]
+    pq = q_pts.shape[-2]
+
+    b = jnp.einsum("ijc,ch->ijh", z, wb) + bb
+    a = jnp.einsum("ihc,jhc->hij", q, k) * math.sqrt(1.0 / (3 * c))
+    a = a + math.sqrt(1.0 / 3) * jnp.moveaxis(b, -1, 0)
+
+    pt = jnp.sum((q_pts[:, None] - k_pts[None, :]) ** 2, axis=-1)  # [N,N,H,P]
+    w = hw * math.sqrt(1.0 / (3 * (pq * 9.0 / 2)))
+    pt = jnp.sum(pt * w[..., None], axis=-1) * (-0.5)  # [N, N, H]
+    a = a + jnp.moveaxis(pt, -1, 0)
+
+    m = mask.astype(a.dtype)
+    a = a + inf * (m[:, None] * m[None, :] - 1.0)[None]
+    a = jax.nn.softmax(a, axis=-1)
+
+    o = jnp.einsum("hij,jhc->ihc", a, v)
+    o_pt = jnp.einsum("hij,jhpd->ihpd", a, v_pts)
+    o_pair = jnp.einsum("hij,ijc->ihc", a, z)
+    return o, o_pt, o_pair
+
+
+def _ipa_kernel(
+    q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, b_ref, z_ref,
+    mask_ref,
+    o_ref, opt_ref, opair_ref,
+    acc_o, acc_opt, acc_pair, m_acc, l_acc,
+    *, h, c, pq, pv, n_j, inf,
+):
+    """Grid (i_tiles, j_tiles), j innermost. Head-major refs:
+    q/k/v [H, T, C], qp/kp [H, T, PQ3] (PRE-SCALED by sqrt(w_h * s_pt)
+    per head on the host — a 1-D per-head weight reshape is an
+    unsupported Mosaic shape cast, and the quadratic form absorbs the
+    scale), vp [H, T, PV3], b [H, TI, TJ], z [TI, TJ, Cz], mask [1, TJ].
+    Scratch: acc_o [H, TI, C], acc_opt [H, TI, PV3], acc_pair
+    [H, TI, Cz] fp32; m/l [H, TI]."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_o[:] = jnp.zeros_like(acc_o)
+        acc_opt[:] = jnp.zeros_like(acc_opt)
+        acc_pair[:] = jnp.zeros_like(acc_pair)
+        m_acc[:] = jnp.full_like(m_acc, _NEG_INF)
+        l_acc[:] = jnp.zeros_like(l_acc)
+
+    f32 = jnp.float32
+    q3 = q_ref[:].astype(f32)    # [H, TI, C]
+    k3 = k_ref[:].astype(f32)    # [H, TJ, C]
+    qp3 = qp_ref[:].astype(f32)  # [H, TI, PQ3]
+    kp3 = kp_ref[:].astype(f32)  # [H, TJ, PQ3]
+    ti = q3.shape[1]
+    tj = k3.shape[1]
+    cz = z_ref.shape[-1]
+
+    scale_qk = math.sqrt(1.0 / (3 * c))
+    scale_b = math.sqrt(1.0 / 3)
+
+    bdot = lambda a, b_, ca, cb: jax.lax.dot_general(
+        a, b_, (((ca,), (cb,)), ((0,), (0,))), preferred_element_type=f32
+    )
+
+    qk = bdot(q3, k3, 2, 2)      # [H, TI, TJ]
+    qkp = bdot(qp3, kp3, 2, 2)   # [H, TI, TJ]
+    qn = jnp.sum(qp3 * qp3, axis=-1)  # [H, TI]
+    kn = jnp.sum(kp3 * kp3, axis=-1)  # [H, TJ]
+    # Points arrive pre-scaled, so this IS w_h * s_pt * sum d^2.
+    ptdist = qn[:, :, None] + kn[:, None, :] - 2.0 * qkp
+
+    maskj = mask_ref[:].astype(f32)  # [1, TJ]
+    logits = (
+        qk * scale_qk
+        + b_ref[:].astype(f32) * scale_b
+        - 0.5 * ptdist
+        + inf * (maskj[None] - 1.0)
+    )
+
+    m_new = jnp.maximum(m_acc[:], jnp.max(logits, axis=-1))  # [H, TI]
+    alpha = jnp.exp(m_acc[:] - m_new)
+    p = jnp.exp(logits - m_new[:, :, None])  # [H, TI, TJ] f32
+    l_acc[:] = l_acc[:] * alpha + jnp.sum(p, axis=-1)
+    m_acc[:] = m_new
+
+    v3 = v_ref[:].astype(f32)    # [H, TJ, C]
+    vp3 = vp_ref[:].astype(f32)  # [H, TJ, PV3]
+    af = alpha[:, :, None]
+    acc_o[:] = acc_o[:] * af + bdot(p, v3, 2, 1)
+    acc_opt[:] = acc_opt[:] * af + bdot(p, vp3, 2, 1)
+
+    # Per-row pair contraction: o_pair[i, h, :] += sum_j p[h,i,j] z[i,j,:].
+    # Operands stay in the input dtype (bf16 mode: fp32 copies of the z
+    # tile exceed scoped VMEM; fp32 mode uses a smaller tile instead);
+    # per-head [TI, 1, TJ] x [TI, TJ, Cz] batched dots (see module notes).
+    z = z_ref[:]
+    p_bf = p.astype(z.dtype)
+    for hh in range(h):
+        ph = p_bf[hh].reshape(ti, 1, tj)
+        contrib = jax.lax.dot_general(
+            ph, z, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        ).reshape(ti, cz)
+        acc_pair[hh] = acc_pair[hh] * alpha[hh][:, None] + contrib
+
+    @pl.when(j == n_j - 1)
+    def _():
+        norm = 1.0 / jnp.maximum(l_acc[:], 1e-20)  # [H, TI]
+        nrm3 = norm[:, :, None]
+        o_ref[:] = (acc_o[:] * nrm3).astype(o_ref.dtype)
+        opt_ref[:] = (acc_opt[:] * nrm3).astype(opt_ref.dtype)
+        opair_ref[:] = (acc_pair[:] * nrm3).astype(opair_ref.dtype)
+
+
+try:  # pallas imports fail gracefully off-TPU/old jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def fused_ipa_attention(
+    q, k, v, q_pts, k_pts, v_pts, z, wb, bb, head_weights, mask,
+    tile_i: int = 64, tile_j: int = 128, inf: float = 1e5,
+    interpret: bool = False,
+):
+    """Fused attention middle of IPA. Input shapes as _reference_attention
+    ([N, H, ...] layout); head-major relayout happens here in XLA.
+    Returns (o [N,H,C], o_pt [N,H,Pv,3] global frame, o_pair [N,H,Cz])."""
+    n, h, c = q.shape
+    pq = q_pts.shape[-2]
+    pv = v_pts.shape[-2]
+    cz = z.shape[-1]
+    if z.dtype == jnp.float32:
+        tile_i = min(tile_i, 32)  # fp32 z tiles: stay under scoped VMEM
+    tile_i = min(tile_i, n)
+    tile_j = min(tile_j, n)
+    assert n % tile_i == 0 and n % tile_j == 0
+    n_i, n_j = n // tile_i, n // tile_j
+
+    dtype = z.dtype
+    hm = lambda x: jnp.transpose(x.reshape(n, h, -1), (1, 0, 2)).astype(dtype)
+
+    # Pair bias in XLA (one [H, N, N] tensor; the kernel reads it tiled).
+    b = (jnp.einsum("ijc,ch->ijh", z, wb.astype(dtype)) + bb.astype(dtype))
+    b = jnp.transpose(b, (2, 0, 1))
+
+    # Fold the per-head point weight into the points (see kernel notes):
+    # -0.5 * s * w_h * sum d^2 == -0.5 * sum (sqrt(s w_h) d)^2.
+    s_pt = math.sqrt(1.0 / (3 * (pq * 9.0 / 2)))
+    f_h = jnp.sqrt(head_weights.astype(jnp.float32) * s_pt)  # [H]
+    pt_scale = f_h[None, :, None, None]
+    q_pts = q_pts.astype(jnp.float32) * pt_scale
+    k_pts = k_pts.astype(jnp.float32) * pt_scale
+
+    kernel = functools.partial(
+        _ipa_kernel, h=h, c=c, pq=pq, pv=pv, n_j=n_j, inf=inf,
+    )
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((h, tile_i, c), lambda i, j: (0, i, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_j, c), lambda i, j: (0, j, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_j, c), lambda i, j: (0, j, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_i, pq * 3), lambda i, j: (0, i, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_j, pq * 3), lambda i, j: (0, j, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_j, pv * 3), lambda i, j: (0, j, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_i, tile_j), lambda i, j: (0, i, j), memory_space=vm),
+            pl.BlockSpec((tile_i, tile_j, cz), lambda i, j: (i, j, 0), memory_space=vm),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((h, tile_i, c), lambda i, j: (0, i, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_i, pv * 3), lambda i, j: (0, i, 0), memory_space=vm),
+            pl.BlockSpec((h, tile_i, cz), lambda i, j: (0, i, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, n, c), dtype),
+            jax.ShapeDtypeStruct((h, n, pv * 3), dtype),
+            jax.ShapeDtypeStruct((h, n, cz), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h, tile_i, c), jnp.float32),
+            pltpu.VMEM((h, tile_i, pv * 3), jnp.float32),
+            pltpu.VMEM((h, tile_i, cz), jnp.float32),
+            pltpu.VMEM((h, tile_i), jnp.float32),
+            pltpu.VMEM((h, tile_i), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        hm(q), hm(k), hm(v), hm(q_pts), hm(k_pts), hm(v_pts),
+        b.astype(dtype), z,
+        mask.reshape(1, n).astype(jnp.float32),
+    )
+    o, o_pt, o_pair = out
+    back = lambda x: jnp.transpose(x, (1, 0, 2))
+    return (
+        back(o),
+        back(o_pt).reshape(n, h, pv, 3),
+        back(o_pair),
+    )

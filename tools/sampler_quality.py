@@ -14,9 +14,14 @@ compare per-sampler sample statistics (consecutive-CA distance mean/std,
 soft helix fraction) against the training data, and an SSE-guided run
 against its unguided control at matched seeds.
 
-Run: python tools/sampler_quality.py  (TPU or CPU; ~2-6 min)
-Env: SQ_TRAIN_STEPS (2000), SQ_SAMPLES (8), SQ_JSON (path), SQ_PLATFORM.
-Prints one JSON line per measurement.
+Run: python tools/sampler_quality.py  (TPU or CPU; ~2-6 min at defaults)
+Env: SQ_TRAIN_STEPS (2000), SQ_SAMPLES (8), SQ_JSON (path), SQ_PLATFORM,
+SQ_DATA (64 structures), SQ_K_LIST ("10,25"), SQ_LR_DECAY (cosine decay
+to 0 over the run when "1" — use for convergence runs).
+
+Round-3 convergence protocol (VERDICT #8 — quality-vs-K on a WELL-trained
+score field): SQ_TRAIN_STEPS=20000 SQ_DATA=256 SQ_LR_DECAY=1
+SQ_K_LIST=5,10,25,50 SQ_SAMPLES=16; results in BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -105,10 +110,16 @@ def train(n_steps, seed=0):
     model = Denoiser.from_config(config)
     schedule = Schedule.create(N_TIMESTEP)
     params = init_params(model, config, seed=seed)
-    state, tx = create_train_state(params, config.optimization["lr"])
+    lr = config.optimization["lr"]
+    if os.environ.get("SQ_LR_DECAY") == "1":
+        import optax
+
+        lr = optax.cosine_decay_schedule(lr, n_steps)
+    state, tx = create_train_state(params, lr)
     step_fn = make_train_step(model, schedule, tx, 1.0)
 
-    ds = helix_planted_dataset(64, np.random.default_rng(seed))
+    n_data = int(os.environ.get("SQ_DATA", "64"))
+    ds = helix_planted_dataset(n_data, np.random.default_rng(seed))
     base_key = jax.random.PRNGKey(seed)
     step, epoch = 0, 0
     while step < n_steps:
@@ -170,9 +181,19 @@ def main():
         model.apply, params, schedule, feats, key, jnp.float32(1.0), N_TIMESTEP
     )
     results["ddpm_full"] = stats(out, mask)
-    for k in (10, 25):
+    k_list = [
+        int(k) for k in os.environ.get("SQ_K_LIST", "10,25").split(",") if k
+    ]
+    for k in k_list:
         results[f"ddim{k}"] = stats(
             ddim_sample(model.apply, params, schedule, feats, key, k, N_TIMESTEP),
+            mask,
+        )
+        results[f"ddim{k}_sqrt"] = stats(
+            ddim_sample(
+                model.apply, params, schedule, feats, key, k, N_TIMESTEP,
+                spacing="sqrt",
+            ),
             mask,
         )
         results[f"dpm{k}"] = stats(
