@@ -60,16 +60,28 @@ def main(args):
             cache_path=os.path.join(config.io["rootdir"], name, cache_name),
         )
 
-    # Packed on-disk cache (memmap-backed, corpus-scale) is the default;
-    # pre-existing round-2 .npz caches keep working via cache_path=*.npz.
+    # Packed on-disk cache (memmap-backed, corpus-scale) is the default.
+    # --test runs get their own cache name (they see a 16-file subset; the
+    # packed cache also fingerprints its corpus, so a mismatched cache
+    # would be rebuilt rather than silently served). A pre-existing
+    # round-2 .npz cache at the legacy name is still honored.
     limit = 16 if args.test else None
-    dataset = build_dataset(train_names, "parsed_cache", limit)
+
+    def cache_name(base):
+        if limit:
+            return f"{base}_test"
+        legacy = os.path.join(config.io["rootdir"], name, f"{base}.npz")
+        return f"{base}.npz" if os.path.exists(legacy) else base
+
+    dataset = build_dataset(train_names, cache_name("parsed_cache"), limit)
     if dataset is None:
         raise FileNotFoundError(
             f"no training structures found under {config.io['datadir']!r} "
             f"(split listed {len(train_names)} names)"
         )
-    val_dataset = build_dataset(val_names or [], "parsed_cache_val", limit)
+    val_dataset = build_dataset(
+        val_names or [], cache_name("parsed_cache_val"), limit
+    )
     print(
         f"dataset: {len(dataset)} train / "
         f"{len(val_dataset) if val_dataset else 0} val structures on "

@@ -30,6 +30,15 @@ linear_out) stays in XLA. Forward-only by design: sampling (the headline
 workload) never differentiates through IPA; training keeps the XLA path.
 A jnp reference implementation lives alongside for numerics tests.
 
+Documented divergence on PADDED rows: the reference's mask term
+inf*(m_i*m_j - 1) is a CONSTANT -inf shift on a fully-masked row i, so
+the reference softmax there degenerates to *unmasked* attention over all
+keys (padded ones included); this kernel applies the key-side mask only,
+so padded rows attend over valid keys. Real rows are bit-identical; the
+divergent rows are dead downstream (the module's mask-invariance tests),
+and replicating the reference's quirk would cost an extra relayout-heavy
+mask input for behavior nothing consumes.
+
 Measured verdict in BENCH_NOTES.md (round 3) — default-off unless it wins
 in-stack, same policy as the TriMul kernels.
 """

@@ -381,14 +381,19 @@ class SMCSampler(BaseSampler):
 
         # Short problems run the TDS gradient without pair-stack remat
         # (see setup(): measured 1.45x at the reference benchmark shape).
+        # Built once and cached: apply_fn is a static jit argument of the
+        # TDS scan, so a fresh closure per sample() call would recompile
+        # the whole fwd+bwd program every call (~minutes on this tunnel).
         apply_fn = self.apply_fn
         if self.model.remat and protein_length <= self.no_remat_below:
-            from genie2_tpu.nn.policy import make_apply_fn
+            if not hasattr(self, "_no_remat_apply_fn"):
+                from genie2_tpu.nn.policy import make_apply_fn
 
-            apply_fn = make_apply_fn(
-                self.model.clone(remat=False), self.compute_dtype,
-                cast_params=False,
-            )
+                self._no_remat_apply_fn = make_apply_fn(
+                    self.model.clone(remat=False), self.compute_dtype,
+                    cast_params=False,
+                )
+            apply_fn = self._no_remat_apply_fn
 
         trans, final_score, trace, snapshots = tds_sample(
             apply_fn,

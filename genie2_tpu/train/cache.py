@@ -67,12 +67,17 @@ def build_packed_cache(
     feature_iter: Iterable[Features],
     cache_dir: str,
     progress_every: int = 0,
+    fingerprint: Optional[str] = None,
 ) -> "PackedCache":
     """Stream feature dicts into a packed cache directory.
 
     Memory use is O(one structure); suitable for corpora far larger than
-    host RAM. The directory appears atomically (tmp build + rename)."""
-    tmp_dir = cache_dir.rstrip("/") + ".building"
+    host RAM. The directory appears atomically (per-process tmp build +
+    rename, so concurrent builders — e.g. multi-host training over a
+    shared rootdir — cannot corrupt each other; last finisher wins with a
+    complete cache). `fingerprint` (corpus identity, see
+    corpus_fingerprint) is stored in meta.json and checked on reuse."""
+    tmp_dir = f"{cache_dir.rstrip('/')}.building.{os.getpid()}"
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
     os.makedirs(tmp_dir)
@@ -115,6 +120,7 @@ def build_packed_cache(
                 "version": _VERSION,
                 "n_structures": n,
                 "n_residues": res_offsets[-1],
+                "fingerprint": fingerprint,
             },
             f,
         )
@@ -122,6 +128,17 @@ def build_packed_cache(
         shutil.rmtree(cache_dir)
     os.replace(tmp_dir, cache_dir)
     return PackedCache(cache_dir)
+
+
+def corpus_fingerprint(filepaths: List[str]) -> str:
+    """Identity of a corpus for cache validation: count + sha1 over the
+    sorted basenames. Catches the silent-mismatch failure (a cache built
+    from a 16-file --test run being reused by a full run, or vice versa)
+    without touching file contents."""
+    import hashlib
+
+    names = "\n".join(sorted(os.path.basename(p) for p in filepaths))
+    return f"{len(filepaths)}:{hashlib.sha1(names.encode()).hexdigest()[:16]}"
 
 
 def build_packed_cache_from_files(
@@ -135,7 +152,10 @@ def build_packed_cache_from_files(
         for path in filepaths:
             yield features_from_pdb(path)
 
-    return build_packed_cache(gen(), cache_dir, progress_every=progress_every)
+    return build_packed_cache(
+        gen(), cache_dir, progress_every=progress_every,
+        fingerprint=corpus_fingerprint(filepaths),
+    )
 
 
 class PackedCache:

@@ -198,15 +198,29 @@ class StructureDataset:
             from genie2_tpu.train.cache import (
                 PackedCache,
                 build_packed_cache_from_files,
+                corpus_fingerprint,
                 is_packed_cache,
             )
 
             if is_packed_cache(cache_path):
-                self._packed = PackedCache(cache_path)
-            else:
-                self._packed = build_packed_cache_from_files(
-                    self.filepaths, cache_path
+                cache = PackedCache(cache_path)
+                want = corpus_fingerprint(self.filepaths)
+                # Empty filepaths = attach-only mode (tools that open a
+                # pre-built cache directly); trust the cache as-is.
+                if not self.filepaths or cache.meta.get("fingerprint") == want:
+                    self._packed = cache
+                    return
+                # A cache built from a different corpus (e.g. a --test
+                # run's 16-file subset) must never be served silently.
+                print(
+                    f"[cache] {cache_path} was built from a different "
+                    f"corpus ({cache.meta.get('fingerprint')} != {want}); "
+                    "rebuilding",
+                    flush=True,
                 )
+            self._packed = build_packed_cache_from_files(
+                self.filepaths, cache_path
+            )
             return
         if cache_path and os.path.exists(cache_path):
             blob = np.load(cache_path, allow_pickle=True)

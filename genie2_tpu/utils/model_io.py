@@ -70,9 +70,13 @@ def checkpoint_metadata(ckpt_path: str) -> Dict[str, Any]:
 def _apply_metadata(config: Config, model: Denoiser, ckpt_path: str, mesh):
     """Rebuild the model if the checkpoint's stamped metadata overrides a
     config default (today: rot_to_quat_method for torch-converted
-    weights)."""
+    weights). A raw torch .ckpt FILE loaded without the converter gets
+    the same eigh default the converter would have stamped — both ways of
+    loading the reference's released weights must behave identically."""
     meta = checkpoint_metadata(ckpt_path)
     method = meta.get("rot_to_quat_method")
+    if method is None and os.path.isfile(ckpt_path):
+        method = "eigh"  # torch-trained weights (see quat-sign study)
     if method and method != config.tpu.get("rot_to_quat_method", "closed"):
         print(f"[model_io] checkpoint metadata selects rot_to_quat={method}")
         config.tpu["rot_to_quat_method"] = method
@@ -161,7 +165,11 @@ def load_model(
         assert epoch in epochs, f"Missing checkpoint epoch: {epoch}"
 
     ckpt_dir = os.path.join(rootdir, name, f"version_{version}", "checkpoints")
-    candidates = glob.glob(os.path.join(ckpt_dir, f"epoch={epoch}.ckpt*"))
+    candidates = [
+        p
+        for p in sorted(glob.glob(os.path.join(ckpt_dir, f"epoch={epoch}.ckpt*")))
+        if not p.endswith(".meta.json")  # converter sidecar, not a ckpt
+    ]
     print(f"Loading checkpoint: {candidates[0]}")
     model = _apply_metadata(config, model, candidates[0], mesh)
     return model, load_params(candidates[0], init_params(model, config)), config

@@ -104,15 +104,18 @@ class TestPackedCache:
             yield features_from_pdb(_write_structures(tmp_path, n=1)[0])
             raise RuntimeError("interrupted")
 
+        import glob as _glob
+
         with pytest.raises(RuntimeError):
             build_packed_cache(boom(), cdir)
         assert not is_packed_cache(cdir)
-        assert os.path.isdir(cdir + ".building")
+        assert _glob.glob(cdir + ".building.*")  # per-pid tmp left behind
 
         paths = _write_structures(tmp_path, n=2, seed=1)
         cache = build_packed_cache_from_files(paths, cdir)
         assert is_packed_cache(cdir) and len(cache) == 2
-        assert not os.path.exists(cdir + ".building")
+        # This pid's tmp dir was consumed by the successful build.
+        assert len(_glob.glob(cdir + ".building.*")) <= 1
 
     def test_empty_corpus(self, tmp_path):
         cache = build_packed_cache(iter([]), str(tmp_path / "cache"))
@@ -160,6 +163,35 @@ class TestDatasetBackends:
         for ba, bb in zip(full[2:], resumed):
             for k in ba:
                 np.testing.assert_array_equal(ba[k], bb[k])
+
+    def test_mismatched_corpus_rebuilds(self, tmp_path):
+        """A cache built from a different corpus (e.g. a --test subset)
+        must be rebuilt, never silently served (code-review finding)."""
+        paths = _write_structures(tmp_path, n=6, monomer_only=True)
+        cdir = str(tmp_path / "cache")
+        small = StructureDataset(paths[:2], 40, 1, cache_path=cdir)
+        assert len(small) == 2
+        full = StructureDataset(paths, 40, 1, cache_path=cdir)
+        assert len(full) == 6
+        # And attach-only mode (no filepaths) trusts whatever is there.
+        attached = StructureDataset([], 40, 1, cache_path=cdir)
+        assert len(attached) == 6
+
+    def test_concurrent_build_tmp_dirs_do_not_collide(self, tmp_path):
+        """Per-process tmp dirs: a stale .building dir from another pid
+        must not be touched by this build."""
+        import os as _os
+
+        from genie2_tpu.train.cache import build_packed_cache_from_files
+
+        paths = _write_structures(tmp_path, n=2, monomer_only=True)
+        cdir = str(tmp_path / "cache")
+        foreign = cdir + ".building.99999999"
+        _os.makedirs(foreign)
+        open(_os.path.join(foreign, "marker"), "w").write("x")
+        cache = build_packed_cache_from_files(paths, cdir)
+        assert len(cache) == 2
+        assert _os.path.exists(_os.path.join(foreign, "marker"))
 
     def test_second_open_reuses_cache(self, tmp_path):
         paths = _write_structures(tmp_path, n=3)

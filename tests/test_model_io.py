@@ -74,25 +74,11 @@ class TestLayoutDiscovery:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_torch_release_checkpoint_loads(self, tmp_path):
-        """A Lightning .ckpt in the release layout loads via the converter."""
-        torch = pytest.importorskip("torch")
-        import sys
-
-        sys.path.insert(0, "/root/reference")
-        from genie.model.model import Denoiser as TorchDenoiser
-
+    @staticmethod
+    def _write_dims_config(basedir):
+        """Config file matching tests.test_parity_torch.DIMS."""
         from tests.test_parity_torch import DIMS
 
-        torch.manual_seed(0)
-        tm = TorchDenoiser(**DIMS)
-        basedir = str(tmp_path / "rel")
-        ckpt_dir = os.path.join(basedir, "checkpoints")
-        os.makedirs(ckpt_dir, exist_ok=True)
-        torch.save(
-            {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}},
-            os.path.join(ckpt_dir, "epoch.30.ckpt"),
-        )
         with open(os.path.join(basedir, "configuration"), "w") as f:
             f.write(
                 "\n".join(
@@ -121,6 +107,27 @@ class TestLayoutDiscovery:
                     ]
                 )
             )
+
+    def test_torch_release_checkpoint_loads(self, tmp_path):
+        """A Lightning .ckpt in the release layout loads via the converter."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from genie.model.model import Denoiser as TorchDenoiser
+
+        from tests.test_parity_torch import DIMS
+
+        torch.manual_seed(0)
+        tm = TorchDenoiser(**DIMS)
+        basedir = str(tmp_path / "rel")
+        ckpt_dir = os.path.join(basedir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        torch.save(
+            {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}},
+            os.path.join(ckpt_dir, "epoch.30.ckpt"),
+        )
+        self._write_dims_config(basedir)
         from genie2_tpu.utils.model_io import load_pretrained_model
 
         model, params, config = load_pretrained_model(str(tmp_path), "rel", 30)
@@ -237,6 +244,60 @@ class TestConvertCheckpointCLI:
         meta = json.load(open(dst + ".meta.json"))
         assert meta["rot_to_quat_method"] == "eigh"
         assert checkpoint_metadata(dst)["source"] == "torch_lightning"
+
+    def test_training_layout_skips_meta_sidecar(self, tmp_path):
+        """load_model's candidate glob must not pick up the converter's
+        .meta.json sidecar as a checkpoint (code-review finding)."""
+        import json
+
+        from genie2_tpu.utils.model_io import load_model
+
+        config = tiny_config()
+        model = Denoiser.from_config(config)
+        params = jax.device_get(init_params(model, config))
+        basedir = str(tmp_path / "t")
+        ckpt_dir = os.path.join(basedir, "version_0", "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        TestLayoutDiscovery()._write_config(basedir)
+        ckpt = os.path.join(ckpt_dir, "epoch=2.ckpt")
+        save_params(ckpt, params)
+        json.dump(
+            {"source": "torch_lightning", "rot_to_quat_method": "eigh"},
+            open(ckpt + ".meta.json", "w"),
+        )
+        loaded_model, loaded, _ = load_model(str(tmp_path), "t")
+        assert loaded_model.quat_method == "eigh"  # sidecar honored
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_raw_torch_file_defaults_to_eigh(self, tmp_path):
+        """A raw torch .ckpt dropped into the release layout (no converter,
+        no sidecar) must select the same eigh quat method the converter
+        stamps — both load paths for the reference's released weights must
+        behave identically (code-review finding)."""
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from genie.model.model import Denoiser as TorchDenoiser
+
+        from genie2_tpu.utils.model_io import load_pretrained_model
+        from tests.test_parity_torch import DIMS
+
+        torch.manual_seed(2)
+        tm = TorchDenoiser(**DIMS)
+        basedir = str(tmp_path / "raw")
+        ckpt_dir = os.path.join(basedir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        torch.save(
+            {"state_dict": {f"model.{k}": v for k, v in tm.state_dict().items()}},
+            os.path.join(ckpt_dir, "epoch.9.ckpt"),
+        )
+        TestLayoutDiscovery._write_dims_config(basedir)
+        model, _, _ = load_pretrained_model(str(tmp_path), "raw", 9)
+        assert model.quat_method == "eigh"
 
     def test_metadata_selects_eigh_on_load(self, tmp_path):
         """A release checkpoint with a .meta.json stamp loads a model with

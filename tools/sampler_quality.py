@@ -196,6 +196,16 @@ def main():
             ),
             mask,
         )
+        if os.environ.get("SQ_ETA1") == "1":
+            # Stochastic DDIM (eta=1): does re-injecting noise recover the
+            # sample diversity / SSE content the deterministic ODE loses?
+            results[f"ddim{k}_eta1"] = stats(
+                ddim_sample(
+                    model.apply, params, schedule, feats, key, k, N_TIMESTEP,
+                    eta=1.0, scale=1.0,
+                ),
+                mask,
+            )
         results[f"dpm{k}"] = stats(
             dpm_solver_sample(
                 model.apply, params, schedule, feats, key, k, N_TIMESTEP
