@@ -22,13 +22,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_two_process_dryrun_matches_single_process():
+    # Dynamic port: a fixed one collides when two suites run concurrently
+    # on the same machine (observed as a spurious failure under load).
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multihost_dryrun.py")],
         capture_output=True,
         text=True,
         timeout=1800,
         cwd=REPO,
-        env=dict(os.environ, MULTIHOST_PORT="12981"),
+        env=dict(os.environ, MULTIHOST_PORT=str(port)),
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     result = json.loads(proc.stdout.strip().splitlines()[-1])
