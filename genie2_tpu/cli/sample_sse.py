@@ -32,9 +32,11 @@ def run(args):
     )
     from genie2_tpu.features.secstruct import sec_struct_frac
     from genie2_tpu.nn.policy import make_apply_fn
+    from genie2_tpu.parallel import mesh_from_arg
     from genie2_tpu.sampling import soft_sse_fraction, sse_guided_sample
     from genie2_tpu.utils.model_io import load_pretrained_model
 
+    mesh = mesh_from_arg(getattr(args, "num_devices", 1))
     model, params, config = load_pretrained_model(
         args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
     )
@@ -57,6 +59,20 @@ def run(args):
             [create_empty_features([args.length]) for _ in range(args.num_particles)]
         )
     )
+    if mesh is not None:
+        # Particle-axis sharding, same contract as the TDS sampler
+        # (sampling/smc.py): particles interact through resampling, so
+        # they are sharded (XLA inserts the collectives), never padded —
+        # a non-divisible particle count is an error.
+        from genie2_tpu.parallel import replicate, shard_batch
+
+        if args.num_particles % mesh.devices.size != 0:
+            raise ValueError(
+                f"--num_particles {args.num_particles} must be divisible "
+                f"by the mesh size {mesh.devices.size}"
+            )
+        params = replicate(params, mesh)
+        feats = shard_batch(feats, mesh)
     trans, result = sse_guided_sample(
         apply_fn,
         params,
@@ -110,6 +126,10 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ema", action="store_true",
                         help="Sample from the weight-EMA checkpoint")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="Shard the particle axis over an n-device "
+                             "mesh (-1 = all devices; particle count must "
+                             "be divisible)")
     run(parser.parse_args())
 
 

@@ -77,6 +77,31 @@ class TestSSEGuidedSampling:
         assert res_a.ess_trace.shape == (schedule.n_timestep,)
         assert np.all(np.asarray(res_a.ess_trace) >= 1.0 - 1e-6)
 
+    def test_mesh_sharded_matches_single_device(self):
+        """Particle-axis sharding over the 8-device mesh (the SSE CLI's
+        --num_devices path) reproduces the single-device run to
+        collective-reduction-order tolerance; resampling decisions agree
+        exactly (same contract as the TDS mesh test)."""
+        from genie2_tpu.parallel import create_mesh, replicate, shard_batch
+
+        model, params, schedule, feats = self._setup(8)
+        key = jax.random.PRNGKey(4)
+        trans_1, res_1 = sse_guided_sample(
+            model.apply, params, schedule, feats, key, 8, strength=5.0
+        )
+        mesh = create_mesh()
+        params_r = replicate(params, mesh)
+        feats_s = shard_batch({k: np.asarray(v) for k, v in feats.items()}, mesh)
+        trans_8, res_8 = sse_guided_sample(
+            model.apply, params_r, schedule, feats_s, key, 8, strength=5.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(trans_1), np.asarray(trans_8), atol=2e-4, rtol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_1.resampled_trace), np.asarray(res_8.resampled_trace)
+        )
+
     def test_log_weights_telescope_to_final_statistic(self):
         """The defining FK property: with resampling off, the per-step
         tempered increments telescope so the final (centered) log-weights
