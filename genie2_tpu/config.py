@@ -158,6 +158,11 @@ class Config:
             "rot_to_quat_method": c.get("rotToQuatMethod", "closed"),
             # Use Pallas kernels for the pair stack when available.
             "use_pallas": bool(c.get("usePallas", False)),
+            # Triangle-attention row-chunk size (0 = off). Scans the row
+            # axis in chunks so the O(H N^3) attention logits never
+            # materialize — required for tri-att past N~512 (the unchunked
+            # logits at N=1024, H=4 are ~17 GB bf16). Identical numerics.
+            "tri_att_chunk": int(c.get("triangleAttentionChunk", 0)),
             # Data-parallel mesh axis size; -1 = all local devices.
             "mesh_data": int(c.get("meshData", -1)),
             # Sequence-parallel mesh axis size (>1 shards the pair tensor's

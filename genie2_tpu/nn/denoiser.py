@@ -58,6 +58,10 @@ class Denoiser(nn.Module):
 
     use_pallas: bool = False
     remat: bool = True
+    # Row-chunk size for triangle attention (0 = off): bounds the
+    # [B, N, H, N, N] logits at O(chunk * H * N^2), the knob that takes
+    # tri-att past the N~512 memory wall (tpu.tri_att_chunk).
+    tri_att_chunk: int = 0
     # rot_to_quat extraction in the pair featurizer ("closed" | "eigh");
     # torch-converted checkpoints select "eigh" via {ckpt}.meta.json.
     quat_method: str = "closed"
@@ -83,6 +87,7 @@ class Denoiser(nn.Module):
             max_n_chain=config.io["max_n_chain"],
             use_pallas=config.tpu.get("use_pallas", False),
             remat=config.tpu.get("remat", True),
+            tri_att_chunk=config.tpu.get("tri_att_chunk", 0),
             quat_method=config.tpu.get("rot_to_quat_method", "closed"),
             pair_sharding=_pair_sharding(mesh),
         )
@@ -142,6 +147,7 @@ class Denoiser(nn.Module):
                 tri_dropout=self.tri_dropout,
                 pair_transition_n=self.pair_transition_n,
                 use_pallas=self.use_pallas,
+                tri_att_chunk=self.tri_att_chunk,
                 remat=self.remat,
                 pair_sharding=self.pair_sharding,
                 name="pair_transform_net",

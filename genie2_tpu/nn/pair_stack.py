@@ -106,13 +106,21 @@ class TriangleMultiplicativeUpdate(nn.Module):
 class TriangleAttention(nn.Module):
     """AF2 Algorithms 13/14 (triangular_attention.py:30-144). `starting`
     selects row-wise attention; the ending-node variant transposes the pair
-    axes around the same computation."""
+    axes around the same computation.
+
+    `row_chunk` > 0 scans the row axis in chunks of that size so the
+    [B, N, H, N, N] logits never materialize — the long-context path
+    (O(row_chunk * H * N^2) peak instead of O(H * N^3), which is the
+    reference's OOM wall past N~512; its eval-time chunk_layer
+    (tensor_utils.py:109-213) chunked the same axis outside autograd
+    only). Identical numerics; works under remat and seq-sharding."""
 
     c_in: int
     c_hidden: int
     no_heads: int
     starting: bool = True
     inf: float = 1e9
+    row_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -137,6 +145,7 @@ class TriangleAttention(nn.Module):
             c_v=self.c_in,
             c_hidden=self.c_hidden,
             no_heads=self.no_heads,
+            row_chunk=self.row_chunk,
             name="mha",
         )(x, x, x, biases=[mask_bias, triangle_bias])
 
@@ -175,6 +184,7 @@ class PairTransformLayer(nn.Module):
     tri_dropout: float
     pair_transition_n: int
     use_pallas: bool = False
+    tri_att_chunk: int = 0
 
     @nn.compact
     def __call__(self, p, pair_mask, deterministic: bool = True, res_mask=None):
@@ -204,13 +214,15 @@ class PairTransformLayer(nn.Module):
             p = p + drop_row(
                 TriangleAttention(
                     self.c_p, self.c_hidden_tri_att, self.n_head_tri,
-                    starting=True, name="tri_att_start",
+                    starting=True, row_chunk=self.tri_att_chunk,
+                    name="tri_att_start",
                 )(p, pair_mask)
             )
             p = p + drop_col(
                 TriangleAttention(
                     self.c_p, self.c_hidden_tri_att, self.n_head_tri,
-                    starting=False, name="tri_att_end",
+                    starting=False, row_chunk=self.tri_att_chunk,
+                    name="tri_att_end",
                 )(p, pair_mask)
             )
         p = p + PairTransition(self.c_p, self.pair_transition_n, name="pair_transition")(
@@ -232,6 +244,7 @@ class PairTransformNet(nn.Module):
     tri_dropout: float
     pair_transition_n: int
     use_pallas: bool = False
+    tri_att_chunk: int = 0
 
     remat: bool = True
     # Optional NamedSharding (batch over 'data', i-axis over 'seq'); the
@@ -265,6 +278,7 @@ class PairTransformNet(nn.Module):
                 tri_dropout=self.tri_dropout,
                 pair_transition_n=self.pair_transition_n,
                 use_pallas=self.use_pallas,
+                tri_att_chunk=self.tri_att_chunk,
                 name=f"layer_{i}",
             )(p, pair_mask, deterministic, mask)
             p = constrain(p, self.pair_sharding)

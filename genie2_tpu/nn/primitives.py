@@ -95,7 +95,16 @@ class Linear(nn.Module):
 
 class Attention(nn.Module):
     """Gated multi-head attention (primitives.py:163-281). `c_hidden` is the
-    per-head dimension; biases are added to the [*, H, Q, K] logits."""
+    per-head dimension; biases are added to the [*, H, Q, K] logits.
+
+    `row_chunk` bounds logit memory when the attention is batched over a
+    large leading "row" axis (triangle attention: q/k/v are [B, I, J, h, c]
+    and the [B, I, H, J, J] logits are O(N^3 H)). When set, the row axis
+    (dim -4 of q) is processed in lax.scan chunks of that size: q/k/v and
+    any bias whose -4 dim matches I are sliced per chunk; biases with a
+    broadcast (size-1) -4 dim — e.g. the row-invariant triangle bias — stay
+    scan-invariant. Numerics are identical to the unchunked path (the
+    softmax key axis is never split). Off (0) when I is not divisible."""
 
     c_q: int
     c_k: int
@@ -103,6 +112,7 @@ class Attention(nn.Module):
     c_hidden: int
     no_heads: int
     gating: bool = True
+    row_chunk: int = 0
 
     @nn.compact
     def __call__(self, q_x, k_x, v_x, biases: Optional[Sequence[jnp.ndarray]] = None):
@@ -115,17 +125,61 @@ class Attention(nn.Module):
         k = k.reshape(*k.shape[:-1], h, c)
         v = v.reshape(*v.shape[:-1], h, c)
 
-        # [*, H, Q, K]
-        a = jnp.einsum("...qhc,...khc->...hqk", q, k) / math.sqrt(c)
-        if biases is not None:
-            for b in biases:
-                a = a + b
-        a = jax.nn.softmax(a, axis=-1)
+        n_row = q.shape[-4] if q.ndim >= 4 else 0
+        if (
+            self.row_chunk
+            and not self.is_initializing()
+            and q.ndim >= 4
+            and n_row > self.row_chunk
+            and n_row % self.row_chunk == 0
+        ):
+            o = _row_chunked_attention(
+                q, k, v, list(biases or []), self.row_chunk, n_row
+            )
+        else:
+            # [*, H, Q, K]
+            a = jnp.einsum("...qhc,...khc->...hqk", q, k) / math.sqrt(c)
+            if biases is not None:
+                for b in biases:
+                    a = a + b
+            a = jax.nn.softmax(a, axis=-1)
 
-        # [*, Q, H, C]
-        o = jnp.einsum("...hqk,...khc->...qhc", a, v)
+            # [*, Q, H, C]
+            o = jnp.einsum("...hqk,...khc->...qhc", a, v)
         if self.gating:
             g = jax.nn.sigmoid(Linear(h * c, init="gating", name="linear_g")(q_x))
             o = o * g.reshape(*g.shape[:-1], h, c)
         o = o.reshape(*o.shape[:-2], h * c)
         return Linear(self.c_q, init="final", name="linear_o")(o)
+
+
+def _row_chunked_attention(q, k, v, biases, chunk, n_row):
+    """Memory-bounded attention core: lax.scan over row-axis (dim -4)
+    chunks. Peak logit memory is O(chunk * H * Q * K) instead of
+    O(n_row * H * Q * K); the softmax key axis is never split, so the
+    result is the unchunked computation reassembled (no online-softmax
+    rescaling, hence no numerics drift beyond reduction order).
+
+    A bias is sliced per-chunk iff it has q's rank and its -4 dim equals
+    n_row (the per-row mask bias); same-rank biases with a broadcast -4
+    dim (the row-invariant triangle bias) and lower-rank biases are passed
+    whole into every chunk."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    per_row = [b.ndim == q.ndim and b.shape[-4] == n_row for b in biases]
+
+    def body(_, i0):
+        q_blk = jax.lax.dynamic_slice_in_dim(q, i0, chunk, axis=-4)
+        k_blk = jax.lax.dynamic_slice_in_dim(k, i0, chunk, axis=-4)
+        v_blk = jax.lax.dynamic_slice_in_dim(v, i0, chunk, axis=-4)
+        a = jnp.einsum("...qhc,...khc->...hqk", q_blk, k_blk) * scale
+        for b, sl in zip(biases, per_row):
+            a = a + (
+                jax.lax.dynamic_slice_in_dim(b, i0, chunk, axis=-4) if sl else b
+            )
+        a = jax.nn.softmax(a, axis=-1)
+        return None, jnp.einsum("...hqk,...khc->...qhc", a, v_blk)
+
+    _, ys = jax.lax.scan(body, None, jnp.arange(0, n_row, chunk))
+    # ys: [n_chunks, *batch, chunk, J, h, c] -> [*batch, n_row, J, h, c]
+    ys = jnp.moveaxis(ys, 0, -5)
+    return ys.reshape(*ys.shape[:-5], n_row, *ys.shape[-3:])

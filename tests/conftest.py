@@ -15,6 +15,19 @@ import sys
 # Harmless when jax reads them fresh; the authoritative override is below.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The 8 virtual devices are threads timesharing however few cores the host
+# has (CI hosts here have ONE). XLA CPU collectives abort the process when a
+# rendezvous isn't joined within ~45 s, and the heavy long-context tests
+# (N=1024 chunked triangle attention) legitimately keep a starved thread
+# busy longer than that between collectives. Raise the timeouts; real skew
+# bugs still surface as test-level timeouts.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_collective_timeout_seconds=1200"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    ).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -30,18 +30,19 @@ from genie2_tpu.parallel import (
 from genie2_tpu.train import create_train_state, make_train_step, synthetic_dataset
 
 
-def seq_config(n_res, mesh_seq=4, tri_att=True):
+def seq_config(n_res, mesh_seq=4, tri_att=True, tri_att_chunk=0, n_layers=2):
     return Config(
         overrides={
             "meshSeq": mesh_seq,
             "includeTriangularAttention": str(tri_att),
+            "triangleAttentionChunk": tri_att_chunk,
             "singleFeatureDimension": 16,
             "pairFeatureDimension": 8,
             "positionalEmbeddingDimension": 8,
             "chainEmbeddingDimension": 4,
             "timestepEmbeddingDimension": 8,
             "templateDistanceNumBins": 5,
-            "numPairTransformLayers": 2,
+            "numPairTransformLayers": n_layers,
             "triangularMultiplicativeHiddenDimension": 4,
             "triangularAttentionHiddenDimension": 4,
             "triangularAttentionNumHeads": 2,
@@ -96,12 +97,20 @@ class TestSeqShardedForward:
         # (the deepest long-context split: each device holds 1/8 of the
         # pair tensor's i-axis). Triangle ATTENTION materializes
         # O(N^3 * H) logits — 8.6 GB at N=1024 on the unsharded CPU
-        # reference side — so the N=1024 case runs tri-mul only (the
-        # flagship default: includeTriangularAttention False).
+        # oracle side — so the N=1024 case runs it row-chunked
+        # (triangleAttentionChunk, identical numerics; test_tri_att_chunk)
+        # on BOTH sides: every pair-stack component now covered at N=1024.
+        # One pair layer at N=1024 (both tri-att variants still exercised):
+        # the 8 virtual devices timeshare however few cores the host has,
+        # and the N=1024 chunked scans are minutes-per-layer on one core
+        # (conftest raises XLA's CPU collective rendezvous timeout for the
+        # same reason).
         config = seq_config(
             n_res,
             mesh_seq=8 if batch == 1 else 4,
-            tri_att=n_res <= 512,
+            tri_att=True,
+            tri_att_chunk=64 if n_res > 512 else 0,
+            n_layers=1 if n_res > 512 else 2,
         )
         mesh = create_mesh(n_seq=config.tpu["mesh_seq"])
 

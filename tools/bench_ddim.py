@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build(length, n_steps, dtype):
+def build(length, n_steps, dtype, extra_overrides=None):
     from genie2_tpu.config import Config
     from genie2_tpu.diffusion import Schedule
     from genie2_tpu.features import batchify, create_empty_features, to_device
@@ -36,7 +36,9 @@ def build(length, n_steps, dtype):
     from genie2_tpu.nn.feature_nets import PairFeatureNet
     from genie2_tpu.nn.policy import make_apply_fn
 
-    config = Config(overrides={"maximumNumResidues": length, "numTimesteps": n_steps})
+    overrides = {"maximumNumResidues": length, "numTimesteps": n_steps}
+    overrides.update(extra_overrides or {})
+    config = Config(overrides=overrides)
     model = Denoiser.from_config(config)
     schedule = Schedule.create(n_steps)
     feats = to_device(batchify([create_empty_features([length])]))
@@ -119,6 +121,52 @@ def bench_long(dtype):
     }), flush=True)
 
 
+def bench_triatt(dtype):
+    """Full pair stack INCLUDING triangle attention at long context, via
+    row-chunked attention (triangleAttentionChunk; nn/primitives.py
+    _row_chunked_attention). Unchunked N=1024 logits are O(H N^3) ~ 8.6 GB
+    bf16 — over half of HBM for one intermediate; the chunk bounds the live
+    logit block so the full AF2-style stack runs at 2-4x the reference's
+    N=256 cap on one chip. Env: BENCH_TRIATT_LENGTHS (512,1024),
+    BENCH_TRIATT_CHUNK (128), BENCH_TRIATT_STEPS (10)."""
+    from genie2_tpu.sampling import ancestral_sample
+
+    lengths = [
+        int(x)
+        for x in os.environ.get("BENCH_TRIATT_LENGTHS", "512,1024").split(",")
+    ]
+    chunk = int(os.environ.get("BENCH_TRIATT_CHUNK", "128"))
+    n_steps = int(os.environ.get("BENCH_TRIATT_STEPS", "10"))
+    for length in lengths:
+        _, params, schedule, feats, apply_fn = build(
+            length, 1000, dtype,
+            extra_overrides={
+                "includeTriangularAttention": "True",
+                "triangleAttentionChunk": chunk,
+            },
+        )
+
+        def run(key):
+            out = ancestral_sample(
+                apply_fn, params, schedule, feats, key, jnp.float32(0.6),
+                n_steps, steps_per_dispatch=5,
+            )
+            return float(jnp.sum(out))
+
+        run(jax.random.PRNGKey(2))  # warmup/compile
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(3))
+        dt = time.perf_counter() - t0
+        step_ms = dt / n_steps * 1e3
+        print(json.dumps({
+            "metric": f"triatt_full_stack_step_ms_L{length}",
+            "value": round(step_ms, 2),
+            "unit": "ms/step",
+            "extra": {"tri_att_chunk": chunk, "n_steps_measured": n_steps,
+                      "length": length, "dtype": dtype},
+        }), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     dtype = os.environ.get("BENCH_DTYPE", "bf16")
@@ -126,6 +174,8 @@ if __name__ == "__main__":
         bench_ddim(dtype)
     if which in ("long", "both"):
         bench_long(dtype)
+    if which == "triatt":
+        bench_triatt(dtype)
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)  # tunnel hangs at interpreter exit
