@@ -38,6 +38,7 @@ def run(args):
             "seed": args.seed,
             "twist_rotations": getattr(args, "twist_rotations", False),
             "rot_tausq": getattr(args, "rot_tausq", 0.1),
+            "proposal": getattr(args, "proposal", "posterior"),
         }
     )
     import numpy as np
@@ -74,6 +75,15 @@ def main():
                              "potential: condition on motif orientation as "
                              "well as position (Frenet frames of x0-hat vs "
                              "the motif's, tangent-normal approximation)")
+    parser.add_argument("--proposal", choices=("posterior", "score"),
+                        default="posterior",
+                        help="Where the twisting gradient enters the proposal "
+                             "mean: 'posterior' = norm-capped gradient twists "
+                             "x-hat-0 (the reference's production sampler); "
+                             "'score' = raw gradient enters as a twisted "
+                             "score on the reparameterized transition (the "
+                             "reference's dev formulation, with full SMC "
+                             "weights kept)")
     parser.add_argument("--rot_tausq", type=float, default=0.1,
                         help="tau^2 for the rotation-term x-start variance "
                              "heuristic (with --twist_rotations)")

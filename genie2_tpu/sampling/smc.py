@@ -76,6 +76,7 @@ class TDSTrace(NamedTuple):
         "apply_fn",
         "untwist_below",
         "ess_frac",
+        "proposal",
     ),
 )
 def _tds_segment(
@@ -95,6 +96,7 @@ def _tds_segment(
     motif_rots: Optional[jnp.ndarray] = None,
     rot_mask: Optional[jnp.ndarray] = None,
     rot_tausq: float = 0.1,
+    proposal: str = "posterior",
 ):
     """One jitted scan segment of the twisted SMC reverse trajectory.
     carry = (trans, log_proposal, log_w_acc, key).
@@ -104,7 +106,22 @@ def _tds_segment(
     Frobenius tangent-normal — the capability of the reference's vendored
     twisting.py:198-273); jax.grad flows through the frame computation, so
     the twisted proposal also conditions on motif ORIENTATION, which
-    translation-only TDS cannot."""
+    translation-only TDS cannot.
+
+    `proposal` selects where the twisting gradient enters the proposal
+    mean (both use the same DDPM posterior mean mu_t when untwisted):
+
+      "posterior" (production, unconditional_smc.py:497-504):
+          mu + coef1 * normcap(g)    — gradient twists x-hat-0.
+      "score" (the dev formulation, smc_sampler_new_new.py:756-771:
+          twisted score -eps/sqrt(1-abar) + g/var added to the
+          reparameterized transition, i.e. mu + (beta/sqrt(alpha)) g/var;
+          no norm cap — the reference commented it out):
+          the same algorithm with a different, t-dependent gradient
+          scaling. Unlike the reference's dev sampler (which dropped its
+          importance weights, wk=None), both proposals here keep the full
+          FK weight/resampling machinery — the weights only need the
+          proposal mean actually sampled from, so the SMC stays exact."""
     n_particles = features["residue_mask"].shape[0]
     shape = (*features["residue_mask"].shape, 3)
     mask = features["residue_mask"].astype(jnp.float32)[..., None]
@@ -139,13 +156,6 @@ def _tds_segment(
             trans, t_vec, var, rot_var
         )
 
-        # Norm-capped regularization g <- g * a|g| / (a + |g|) (:485-490).
-        norm = jnp.linalg.norm(grad)
-        grad = grad * grad_alpha * norm / (grad_alpha + norm)
-
-        # Untwisted tail below `untwist_below` for stability (:491-495).
-        twisted_x0 = jnp.where(t >= untwist_below, x0 + grad, x0)
-
         coef1 = (
             schedule.sqrt_alphas_cumprod_prev[t]
             * schedule.betas[t]
@@ -156,8 +166,20 @@ def _tds_segment(
             * (1.0 - schedule.alphas_cumprod_prev[t])
             / schedule.one_minus_alphas_cumprod[t]
         )
-        mean_twisted = coef1 * twisted_x0 + coef2 * trans
         mean_untwisted = coef1 * x0 + coef2 * trans
+
+        if proposal == "score":
+            # Dev score formulation: mu + (beta/sqrt(alpha)) * g/var, raw
+            # gradient (smc_sampler_new_new.py:756-771).
+            delta = (schedule.betas[t] / schedule.sqrt_alphas[t]) * (grad / var)
+        else:
+            # Production: norm-capped g twists x-hat-0,
+            # g <- g * a|g| / (a + |g|) (unconditional_smc.py:485-490).
+            norm = jnp.linalg.norm(grad)
+            delta = coef1 * grad * grad_alpha * norm / (grad_alpha + norm)
+
+        # Untwisted tail below `untwist_below` for stability (:491-495).
+        mean_twisted = mean_untwisted + jnp.where(t >= untwist_below, delta, 0.0)
 
         key, noise_key, resample_key = jax.random.split(key, 3)
         noise = jax.random.normal(noise_key, shape, dtype=jnp.float32)
@@ -230,6 +252,7 @@ def tds_sample(
     motif_rots: Optional[jnp.ndarray] = None,
     rot_mask: Optional[jnp.ndarray] = None,
     rot_tausq: float = 0.1,
+    proposal: str = "posterior",
 ):
     """Run the full twisted SMC reverse trajectory, segmented into bounded
     dispatches (the step includes a full backward pass; long single
@@ -244,6 +267,10 @@ def tds_sample(
     """
     import numpy as np
 
+    if proposal not in ("posterior", "score"):
+        raise ValueError(
+            f"proposal must be 'posterior' or 'score', got {proposal!r}"
+        )
     n_particles = features["residue_mask"].shape[0]
     shape = (*features["residue_mask"].shape, 3)
 
@@ -279,6 +306,7 @@ def tds_sample(
             motif_rots=motif_rots,
             rot_mask=rot_mask,
             rot_tausq=rot_tausq,
+            proposal=proposal,
         )
         traces.append(trace)
         if record_every:
@@ -410,6 +438,7 @@ class SMCSampler(BaseSampler):
             motif_rots=motif_rots,
             rot_mask=rot_mask,
             rot_tausq=float(params.get("rot_tausq") or 0.1),
+            proposal=params.get("proposal") or "posterior",
         )
 
         self.trace = jax.tree_util.tree_map(np.asarray, trace)
