@@ -54,18 +54,27 @@ def create_mesh(
     )
 
 
-def mesh_from_arg(num_devices: int = -1, n_seq: int = 1) -> Optional[Mesh]:
+def mesh_from_arg(
+    num_devices: int = -1, n_seq: int = 1, n_model: int = 1
+) -> Optional[Mesh]:
     """Resolve a CLI --num_devices flag into a mesh (None = single device,
     no sharding). -1 means all available devices. n_seq > 1 splits the
     devices into a 2-D ('data', 'seq') mesh: num_devices total, of which
     n_seq sequence-shard each sample's pair tensor (long-context
-    inference)."""
+    inference). n_model > 1 instead builds a ('data', 'model') mesh whose
+    model axis tensor-shards the weights (parallel/tensor_parallel.py);
+    the two inner axes are mutually exclusive today."""
     n = len(jax.devices()) if num_devices == -1 else num_devices
+    if n_seq > 1 and n_model > 1:
+        raise ValueError("--mesh_seq and --mesh_model are mutually exclusive")
     if n <= 1:
-        if n_seq > 1:
+        if n_seq > 1 or n_model > 1:
             # An explicit sharding request must not be silently ignored.
+            flag, k = (
+                ("--mesh_seq", n_seq) if n_seq > 1 else ("--mesh_model", n_model)
+            )
             raise ValueError(
-                f"--mesh_seq {n_seq} needs at least {n_seq} devices; "
+                f"{flag} {k} needs at least {k} devices; "
                 f"--num_devices resolves to {n}"
             )
         return None
@@ -75,6 +84,14 @@ def mesh_from_arg(num_devices: int = -1, n_seq: int = 1) -> Optional[Mesh]:
         if n % n_seq:
             raise ValueError(f"--num_devices {n} not divisible by --mesh_seq {n_seq}")
         return create_mesh(n // n_seq, n_seq=n_seq)
+    if n_model > 1:
+        if n % n_model:
+            raise ValueError(
+                f"--num_devices {n} not divisible by --mesh_model {n_model}"
+            )
+        from genie2_tpu.parallel.tensor_parallel import create_tp_mesh
+
+        return create_tp_mesh(n // n_model, n_model)
     return create_mesh(n)
 
 

@@ -66,9 +66,18 @@ class BaseSampler(ABC):
         # single-device outputs (tests/test_cli.py).
         self.mesh = mesh
         if mesh is not None:
-            from genie2_tpu.parallel import replicate
+            if "model" in mesh.axis_names and dict(mesh.shape)["model"] > 1:
+                # Tensor parallelism: weights sharded over the 'model'
+                # axis (parallel/tensor_parallel.py); activations follow
+                # via GSPMD. Outputs are allclose (not bit-identical) to
+                # single-device — psum changes the reduction order.
+                from genie2_tpu.parallel import place_params
 
-            self.params = replicate(self.params, mesh)
+                self.params = place_params(self.params, mesh)
+            else:
+                from genie2_tpu.parallel import replicate
+
+                self.params = replicate(self.params, mesh)
         self.apply_fn = make_apply_fn(model, self.compute_dtype, cast_params=False)
         self._static_bias_fn = self._build_static_bias_fn()
         self.required = ["scale", "outdir", "num_samples", "prefix", "offset"]
