@@ -17,7 +17,10 @@ def run(args):
     from genie2_tpu.sampling import SMCSampler
     from genie2_tpu.utils.model_io import load_pretrained_model
 
-    mesh = mesh_from_arg(args.num_devices, getattr(args, "mesh_seq", 1))
+    mesh = mesh_from_arg(
+        args.num_devices, getattr(args, "mesh_seq", 1),
+        getattr(args, "mesh_model", 1),
+    )
     model, params, config = load_pretrained_model(
         args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False),
         mesh=mesh,
@@ -92,6 +95,11 @@ def main():
     parser.add_argument("--mesh_seq", type=int, default=1,
                         help="Sequence-shard each particle's pair tensor over "
                              "this many devices (2-D ('data','seq') mesh)")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="Tensor-parallel the weights over this many "
+                             "devices (2-D ('data','model') mesh; particles "
+                             "shard over 'data'; outputs allclose but not "
+                             "bit-identical to 1-device)")
     parser.add_argument("--num_devices", type=int, default=-1,
                         help="Total devices for the mesh (-1 = all, 1 = no "
                              "sharding); particles shard over the data axis "

@@ -104,7 +104,9 @@ class Attention(nn.Module):
     any bias whose -4 dim matches I are sliced per chunk; biases with a
     broadcast (size-1) -4 dim — e.g. the row-invariant triangle bias — stay
     scan-invariant. Numerics are identical to the unchunked path (the
-    softmax key axis is never split). Off (0) when I is not divisible."""
+    softmax key axis is never split). When I is not divisible the chunk
+    rounds down to the largest divisor of I (never a silent full-logits
+    fallback); I <= row_chunk runs unchunked (already within budget)."""
 
     c_q: int
     c_k: int
@@ -126,16 +128,18 @@ class Attention(nn.Module):
         v = v.reshape(*v.shape[:-1], h, c)
 
         n_row = q.shape[-4] if q.ndim >= 4 else 0
-        if (
-            self.row_chunk
-            and not self.is_initializing()
-            and q.ndim >= 4
-            and n_row > self.row_chunk
-            and n_row % self.row_chunk == 0
-        ):
-            o = _row_chunked_attention(
-                q, k, v, list(biases or []), self.row_chunk, n_row
-            )
+        if self.row_chunk and q.ndim >= 4 and n_row > self.row_chunk:
+            # Non-divisible n_row: round the chunk DOWN to the largest
+            # divisor rather than silently falling back to the full
+            # O(n_row H Q K) logits — the memory bound is the whole point
+            # of the flag (worst case chunk=1 for prime n_row; bucketed
+            # lengths are multiples of 32 in practice). Applies during
+            # init too: the chunk body has no submodules, so params are
+            # identical and an eager init stays memory-bounded.
+            chunk = self.row_chunk
+            if n_row % chunk:
+                chunk = max(d for d in range(1, chunk + 1) if n_row % d == 0)
+            o = _row_chunked_attention(q, k, v, list(biases or []), chunk, n_row)
         else:
             # [*, H, Q, K]
             a = jnp.einsum("...qhc,...khc->...hqk", q, k) / math.sqrt(c)

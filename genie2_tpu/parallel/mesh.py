@@ -25,14 +25,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(
-    n_data: int = -1, devices: Optional[Sequence] = None, n_seq: int = 1
+    n_data: int = -1,
+    devices: Optional[Sequence] = None,
+    n_seq: int = 1,
+    inner_axis: str = "seq",
 ) -> Mesh:
     """A data-parallel mesh over the given (default: all) devices.
 
-    n_seq > 1 adds a second 'seq' axis for sequence-sharding the pair
-    tensor (SURVEY §5 long-context row): devices are laid out
-    (n_data, n_seq) with 'seq' innermost so its collectives ride the
-    fastest ICI links."""
+    n_seq > 1 adds a second inner axis — 'seq' for sequence-sharding the
+    pair tensor (SURVEY §5 long-context row), or 'model' for tensor
+    parallelism (tensor_parallel.create_tp_mesh delegates here): devices
+    are laid out (n_data, n_inner) with the inner axis innermost so its
+    collectives ride the fastest ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data == -1:
         n_data = len(devices) // n_seq
@@ -45,12 +49,12 @@ def create_mesh(
         return Mesh(np.array(devices[:n_data]), ("data",))
     if n_data * n_seq > len(devices):
         raise ValueError(
-            f"mesh ({n_data} data x {n_seq} seq) needs {n_data * n_seq} "
-            f"devices, have {len(devices)}"
+            f"mesh ({n_data} data x {n_seq} {inner_axis}) needs "
+            f"{n_data * n_seq} devices, have {len(devices)}"
         )
     return Mesh(
         np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq),
-        ("data", "seq"),
+        ("data", inner_axis),
     )
 
 

@@ -185,14 +185,8 @@ def create_tp_mesh(
     n_data: int = 1, n_model: int = 2, devices: Optional[Sequence] = None
 ) -> Mesh:
     """('data', 'model') mesh; 'model' innermost so its psums ride the
-    fastest ICI links (same layout logic as create_mesh's 'seq')."""
-    devices = list(devices if devices is not None else jax.devices())
-    need = n_data * n_model
-    if need > len(devices):
-        raise ValueError(
-            f"mesh ({n_data} data x {n_model} model) needs {need} devices, "
-            f"have {len(devices)}"
-        )
-    return Mesh(
-        np.array(devices[:need]).reshape(n_data, n_model), ("data", AXIS)
-    )
+    fastest ICI links (delegates to create_mesh — one device-layout
+    policy for all inner axes)."""
+    from genie2_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(n_data, devices, n_seq=n_model, inner_axis=AXIS)

@@ -113,10 +113,13 @@ def _tds_segment(
 
       "posterior" (production, unconditional_smc.py:497-504):
           mu + coef1 * normcap(g)    — gradient twists x-hat-0.
-      "score" (the dev formulation, smc_sampler_new_new.py:756-771:
+      "score" (the dev formulation, smc_sampler_new_new.py:745-771:
           twisted score -eps/sqrt(1-abar) + g/var added to the
-          reparameterized transition, i.e. mu + (beta/sqrt(alpha)) g/var;
-          no norm cap — the reference commented it out):
+          reparameterized transition, i.e. mu + (beta/sqrt(alpha)) g/var,
+          where g is the MEAN-over-particles gradient of the dev log-prob
+          — whose variance is 1 - abar_t (:449), not the type-6 var the
+          FK weights use — and no norm cap, the reference commented it
+          out):
           the same algorithm with a different, t-dependent gradient
           scaling. Unlike the reference's dev sampler (which dropped its
           importance weights, wk=None), both proposals here keep the full
@@ -126,23 +129,44 @@ def _tds_segment(
     shape = (*features["residue_mask"].shape, 3)
     mask = features["residue_mask"].astype(jnp.float32)[..., None]
 
-    def potential(x, t_vec, var, rot_var):
+    def potential(x, t_vec, var, rot_var, grad_var=None):
+        """Scalar grad target + aux. `var` is the var-type-6 x-start
+        variance the FK WEIGHTS always use (unconditional_smc.py:536-552).
+        `grad_var` (score proposal only) is the variance of the log-prob
+        the GRADIENT is taken through — the dev twisting_function uses
+        1 - abar_t, not the type-6 var (smc_sampler_new_new.py:449)."""
         rots = frenet_frames(x, features["chain_index"], features["residue_mask"])
         eps = apply_fn(params, Rigid(rots, x), t_vec, features)["z"]
         x0 = (
             x - schedule.sqrt_one_minus_alphas_cumprod[t_vec][:, None, None] * eps
         ) / schedule.sqrt_alphas_cumprod[t_vec][:, None, None]
+        gvar = var if grad_var is None else grad_var
         if motif_rots is None:
-            log_prob, score = twisting_log_prob(x0, positions, motif_target, var)
+            log_prob_g, score_g = twisting_log_prob(
+                x0, positions, motif_target, gvar
+            )
+            if grad_var is None:
+                log_prob, score = log_prob_g, score_g
+            else:
+                log_prob, score = twisting_log_prob(
+                    x0, positions, motif_target, var
+                )
         else:
             rots0 = frenet_frames(
                 x0, features["chain_index"], features["residue_mask"]
             )
-            log_prob, score = twisting_log_prob_frames(
-                x0, rots0, positions, motif_target, var,
+            log_prob_g, score_g = twisting_log_prob_frames(
+                x0, rots0, positions, motif_target, gvar,
                 motif_rots, rot_mask, rot_var,
             )
-        return jnp.sum(log_prob), (x0, log_prob, score)
+            if grad_var is None:
+                log_prob, score = log_prob_g, score_g
+            else:
+                log_prob, score = twisting_log_prob_frames(
+                    x0, rots0, positions, motif_target, var,
+                    motif_rots, rot_mask, rot_var,
+                )
+        return jnp.sum(log_prob_g), (x0, log_prob, score)
 
     def body(carry, t):
         trans, log_proposal, log_w_acc, key = carry
@@ -152,8 +176,14 @@ def _tds_segment(
 
         # Twisting gradient through the whole denoiser
         # (unconditional_smc.py:467-484: grad of mean * P == grad of sum).
+        # The score proposal grads the DEV log-prob (variance 1 - abar_t,
+        # smc_sampler_new_new.py:449) while the aux log_prob/score keep
+        # the type-6 variance for the FK weights and placement inference.
+        grad_var = (
+            schedule.one_minus_alphas_cumprod[t] if proposal == "score" else None
+        )
         grad, (x0, log_prob, score) = jax.grad(potential, has_aux=True)(
-            trans, t_vec, var, rot_var
+            trans, t_vec, var, rot_var, grad_var
         )
 
         coef1 = (
@@ -169,9 +199,15 @@ def _tds_segment(
         mean_untwisted = coef1 * x0 + coef2 * trans
 
         if proposal == "score":
-            # Dev score formulation: mu + (beta/sqrt(alpha)) * g/var, raw
-            # gradient (smc_sampler_new_new.py:756-771).
-            delta = (schedule.betas[t] / schedule.sqrt_alphas[t]) * (grad / var)
+            # Dev score formulation (smc_sampler_new_new.py:745-771):
+            # mu + (beta/sqrt(alpha)) * g/var with g = grad of the MEAN
+            # over particles of the dev log-prob (no rescale-by-P — unlike
+            # the production sampler's :483-484 — and no norm cap: the
+            # reference commented it out). grad above is of the sum, so
+            # divide by P.
+            delta = (schedule.betas[t] / schedule.sqrt_alphas[t]) * (
+                grad / (var * n_particles)
+            )
         else:
             # Production: norm-capped g twists x-hat-0,
             # g <- g * a|g| / (a + |g|) (unconditional_smc.py:485-490).
@@ -394,10 +430,15 @@ class SMCSampler(BaseSampler):
         # non-divisible particle count is an error, not a silent fallback.
         if self.mesh is not None:
             n_particles = params["num_samples"]
-            if n_particles % self.mesh.devices.size != 0:
+            # Particles shard over 'data' only; a ('data','model') TP mesh
+            # replicates them over 'model' (weights shard there instead,
+            # placed in BaseSampler.__init__), so divisibility is vs the
+            # data-axis size, not the total device count.
+            n_data = dict(self.mesh.shape).get("data", self.mesh.devices.size)
+            if n_particles % n_data != 0:
                 raise ValueError(
                     f"num_particles={n_particles} must be divisible by the "
-                    f"mesh size {self.mesh.devices.size} (particles are "
+                    f"mesh 'data' axis ({n_data}) (particles are "
                     "sharded, not padded — they interact through "
                     "resampling); pick a divisible particle count or run "
                     "without --num_devices"

@@ -422,6 +422,78 @@ class TestSMCEndToEnd:
             coords[prop] = np.stack([f["atom_positions"] for f in out])
         np.testing.assert_array_equal(coords["posterior"], coords["score"])
 
+    def test_score_proposal_matches_dev_equations(self):
+        """Oracle test for the score-proposal scaling: one _tds_segment
+        step with a stub denoiser (eps = 0) must equal an independent
+        transcription of the dev equations (smc_sampler_new_new.py:745-771)
+        — grad of the MEAN over particles of the log-prob built with
+        variance 1 - abar_t (twisting_function, :449), divided ONCE by the
+        var-type-6 x-start variance, entering as mu + (beta/sqrt(alpha))
+        g/var. Pins the variance and 1/P factors (a past review found the
+        var applied twice and the sum-vs-mean factor dropped)."""
+        from genie2_tpu.diffusion import Schedule
+        from genie2_tpu.features import batchify, create_empty_features, to_device
+        from genie2_tpu.sampling.smc import _tds_segment
+        from genie2_tpu.sampling.twisting import (
+            enumerate_motif_placements,
+            placements_to_positions,
+            twisting_log_prob,
+            xstart_variance,
+        )
+
+        P, L, T, t = 3, 12, 8, 6
+        schedule = Schedule.create(T)
+        feats = to_device(batchify([create_empty_features([L])] * P))
+        positions = jnp.asarray(
+            placements_to_positions(enumerate_motif_placements(L, [3]))
+        )
+        target = jnp.asarray(
+            np.random.default_rng(0).normal(size=(3, 3)).astype(np.float32)
+        )
+        trans0 = jax.random.normal(jax.random.PRNGKey(3), (P, L, 3))
+        key = jax.random.PRNGKey(9)
+        carry = (
+            trans0, jnp.zeros((P,)), jnp.zeros((P,)), key,
+        )
+
+        def apply_fn(params, rigids, t_vec, features):
+            return {"z": jnp.zeros_like(rigids.trans)}
+
+        (next_trans, _, _, _), _, _, _ = _tds_segment(
+            apply_fn, None, schedule, feats, positions, target,
+            carry, jnp.asarray([t]), jnp.float32(1.0),
+            untwist_below=1, ess_frac=0.0, proposal="score",
+        )
+
+        # --- independent dev-equation transcription ---
+        var6 = xstart_variance(schedule.alphas_cumprod[t], 0.012)
+
+        def mean_dev_log_prob(x):
+            x0 = x / schedule.sqrt_alphas_cumprod[t]  # eps = 0
+            lp, _ = twisting_log_prob(
+                x0, positions, target, schedule.one_minus_alphas_cumprod[t]
+            )
+            return jnp.mean(lp)
+
+        g = jax.grad(mean_dev_log_prob)(trans0)
+        x0 = trans0 / schedule.sqrt_alphas_cumprod[t]
+        mu = (
+            schedule.sqrt_alphas_cumprod_prev[t]
+            * schedule.betas[t]
+            / schedule.one_minus_alphas_cumprod[t]
+        ) * x0 + (
+            schedule.sqrt_alphas[t]
+            * (1.0 - schedule.alphas_cumprod_prev[t])
+            / schedule.one_minus_alphas_cumprod[t]
+        ) * trans0
+        mean = mu + (schedule.betas[t] / schedule.sqrt_alphas[t]) * (g / var6)
+        _, noise_key, _ = jax.random.split(key, 3)
+        noise = jax.random.normal(noise_key, (P, L, 3), dtype=jnp.float32)
+        expected = mean + schedule.sqrt_betas[t] * noise  # scale=1, full mask
+        np.testing.assert_allclose(
+            np.asarray(next_trans), np.asarray(expected), atol=1e-4, rtol=1e-5
+        )
+
     def test_unknown_proposal_raises(self):
         from genie2_tpu.sampling.smc import tds_sample
 

@@ -41,8 +41,11 @@ class TestRowChunkedTriangleAttention:
             np.asarray(out_p), np.asarray(out_c), atol=1e-6, rtol=1e-6
         )
 
-    def test_non_divisible_falls_back_to_unchunked(self):
-        # N=16 with chunk 5: the guard declines chunking, result unchanged.
+    def test_non_divisible_rounds_chunk_down(self):
+        # N=16 with chunk 5: rounds down to the largest divisor (4) and
+        # stays memory-bounded — never a silent full-logits fallback
+        # (that would reintroduce the O(H N^3) blowup the flag exists to
+        # prevent, surfacing as an OOM at exactly the configured scale).
         x, mask, _, _ = _pair_inputs()
         plain = TriangleAttention(8, 4, 2)
         odd = TriangleAttention(8, 4, 2, row_chunk=5)
@@ -50,7 +53,7 @@ class TestRowChunkedTriangleAttention:
         np.testing.assert_allclose(
             np.asarray(jax.jit(plain.apply)(params, x, mask)),
             np.asarray(jax.jit(odd.apply)(params, x, mask)),
-            atol=0,
+            atol=1e-6, rtol=1e-6,
         )
 
     def test_gradients_match(self):

@@ -13,7 +13,6 @@ Usage: python tools/bench_tri_att.py [lengths_csv] [iters]
 Env: BENCH_CHUNK (default 64) for the XLA row-chunk size.
 """
 
-import math
 import os
 import sys
 import time
@@ -32,24 +31,16 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "64"))
 
 
 def xla_chunked_core(q, k, v, tb, mask, chunk, inf=1e9):
-    """The module's row-chunked attention core (primitives.py
-    _row_chunked_attention inlined, minus the flax wrapper)."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
+    """The PRODUCTION row-chunked attention core, called directly so the
+    benchmark can never drift from what the model runs: mask bias
+    [I,1,1,J] is per-row-sliced (rank == q's, -4 dim == I), the triangle
+    bias tb[None] is scan-invariant (broadcast -4 dim)."""
+    from genie2_tpu.nn.primitives import _row_chunked_attention
+
     mask_bias = inf * (mask[:, None, None, :] - 1.0)  # [I, 1, 1, J]
-    n_row = q.shape[0]
-
-    def body(_, i0):
-        q_blk = jax.lax.dynamic_slice_in_dim(q, i0, chunk, axis=0)
-        k_blk = jax.lax.dynamic_slice_in_dim(k, i0, chunk, axis=0)
-        v_blk = jax.lax.dynamic_slice_in_dim(v, i0, chunk, axis=0)
-        mb = jax.lax.dynamic_slice_in_dim(mask_bias, i0, chunk, axis=0)
-        a = jnp.einsum("iqhc,ikhc->ihqk", q_blk, k_blk) * scale
-        a = a + tb[None] + mb
-        a = jax.nn.softmax(a, axis=-1)
-        return None, jnp.einsum("ihqk,ikhc->iqhc", a, v_blk)
-
-    _, ys = jax.lax.scan(body, None, jnp.arange(0, n_row, chunk))
-    return ys.reshape(n_row, *ys.shape[2:])
+    return _row_chunked_attention(
+        q, k, v, [mask_bias, tb[None]], chunk, q.shape[0]
+    )
 
 
 def main():
