@@ -97,7 +97,7 @@ def main():
                              "this many devices (2-D ('data','seq') mesh)")
     parser.add_argument("--mesh_model", type=int, default=1,
                         help="Tensor-parallel the weights over this many "
-                             "devices (2-D ('data','model') mesh; particles "
+                             "devices (composes with --mesh_seq; particles "
                              "shard over 'data'; outputs allclose but not "
                              "bit-identical to 1-device)")
     parser.add_argument("--num_devices", type=int, default=-1,

@@ -106,7 +106,8 @@ def main():
                              "this many devices (2-D ('data','seq') mesh)")
     parser.add_argument("--mesh_model", type=int, default=1,
                         help="Tensor-parallel the weights over this many "
-                             "devices (2-D ('data','model') mesh; outputs "
+                             "devices (composes with --mesh_seq into a 3-D "
+                             "('data','seq','model') mesh; outputs "
                              "allclose but not bit-identical to 1-device)")
     parser.add_argument("--num_devices", type=int, default=-1,
                         help="Total devices for the mesh (-1 = all, 1 = no "

@@ -169,6 +169,11 @@ class Config:
             # i-axis over a second 'seq' mesh axis — the long-context
             # scaling story past N=256; SURVEY §5).
             "mesh_seq": int(c.get("meshSeq", 1)),
+            # Tensor-parallel mesh axis size (>1 shards the weights and
+            # their Adam moments over a 'model' mesh axis, Megatron-style;
+            # parallel/tensor_parallel.py). Composes with meshSeq into a
+            # 3-D ('data','seq','model') mesh.
+            "mesh_model": int(c.get("meshModel", 1)),
             # Rematerialize the pair stack in backward (needed at N=256;
             # can be disabled for small models/tests).
             "remat": bool(c.get("remat", True)),

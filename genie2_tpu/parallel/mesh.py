@@ -28,33 +28,50 @@ def create_mesh(
     n_data: int = -1,
     devices: Optional[Sequence] = None,
     n_seq: int = 1,
+    n_model: int = 1,
     inner_axis: str = "seq",
 ) -> Mesh:
     """A data-parallel mesh over the given (default: all) devices.
 
-    n_seq > 1 adds a second inner axis — 'seq' for sequence-sharding the
-    pair tensor (SURVEY §5 long-context row), or 'model' for tensor
-    parallelism (tensor_parallel.create_tp_mesh delegates here): devices
-    are laid out (n_data, n_inner) with the inner axis innermost so its
-    collectives ride the fastest ICI links."""
+    Inner axes (size-1 axes are dropped, so callers never see dummy
+    dimensions):
+
+      * n_seq > 1 adds a 'seq' axis for sequence-sharding the pair
+        tensor (SURVEY §5 long-context row; parallel.pair_sharding),
+      * n_model > 1 adds a 'model' axis for tensor parallelism
+        (parallel/tensor_parallel.py; create_tp_mesh delegates here),
+      * both > 1 compose into a 3-D ('data', 'seq', 'model') mesh —
+        long context AND sharded weights together. 'model' is innermost
+        (its per-layer psums are the most latency-sensitive), 'seq'
+        next, so both inner axes ride the fastest ICI links.
+
+    `inner_axis` renames the single inner axis of a 2-D mesh (legacy
+    create_tp_mesh spelling); it is ignored for 1-D/3-D meshes."""
     devices = list(devices if devices is not None else jax.devices())
+    n_inner = n_seq * n_model
     if n_data == -1:
-        n_data = len(devices) // n_seq
+        n_data = len(devices) // n_inner
     if n_data < 1:
         raise ValueError(
-            f"mesh needs at least {max(n_seq, 1)} devices "
-            f"({n_seq=}), have {len(devices)}"
+            f"mesh needs at least {max(n_inner, 1)} devices "
+            f"({n_seq=}, {n_model=}), have {len(devices)}"
         )
-    if n_seq == 1:
-        return Mesh(np.array(devices[:n_data]), ("data",))
-    if n_data * n_seq > len(devices):
+    need = n_data * n_inner
+    if need > len(devices):
         raise ValueError(
-            f"mesh ({n_data} data x {n_seq} {inner_axis}) needs "
-            f"{n_data * n_seq} devices, have {len(devices)}"
+            f"mesh ({n_data} data x {n_seq} seq x {n_model} model) needs "
+            f"{need} devices, have {len(devices)}"
         )
+    if n_inner == 1:
+        return Mesh(np.array(devices[:n_data]), ("data",))
+    if n_seq > 1 and n_model > 1:
+        return Mesh(
+            np.array(devices[:need]).reshape(n_data, n_seq, n_model),
+            ("data", "seq", "model"),
+        )
+    axis = "model" if n_model > 1 else inner_axis
     return Mesh(
-        np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq),
-        ("data", inner_axis),
+        np.array(devices[:need]).reshape(n_data, n_inner), ("data", axis)
     )
 
 
@@ -62,41 +79,30 @@ def mesh_from_arg(
     num_devices: int = -1, n_seq: int = 1, n_model: int = 1
 ) -> Optional[Mesh]:
     """Resolve a CLI --num_devices flag into a mesh (None = single device,
-    no sharding). -1 means all available devices. n_seq > 1 splits the
-    devices into a 2-D ('data', 'seq') mesh: num_devices total, of which
-    n_seq sequence-shard each sample's pair tensor (long-context
-    inference). n_model > 1 instead builds a ('data', 'model') mesh whose
-    model axis tensor-shards the weights (parallel/tensor_parallel.py);
-    the two inner axes are mutually exclusive today."""
+    no sharding). -1 means all available devices. n_seq > 1 adds a 'seq'
+    axis sequence-sharding each sample's pair tensor (long-context
+    inference); n_model > 1 adds a 'model' axis tensor-sharding the
+    weights (parallel/tensor_parallel.py). Both together build the 3-D
+    ('data', 'seq', 'model') mesh — long context and sharded weights
+    compose (each orthogonal: the P specs name different axes)."""
     n = len(jax.devices()) if num_devices == -1 else num_devices
-    if n_seq > 1 and n_model > 1:
-        raise ValueError("--mesh_seq and --mesh_model are mutually exclusive")
+    n_inner = n_seq * n_model
+    if n < n_inner:
+        # An explicit sharding request must not be silently ignored.
+        raise ValueError(
+            f"--mesh_seq {n_seq} x --mesh_model {n_model} needs at least "
+            f"{n_inner} devices; --num_devices resolves to {n}"
+        )
     if n <= 1:
-        if n_seq > 1 or n_model > 1:
-            # An explicit sharding request must not be silently ignored.
-            flag, k = (
-                ("--mesh_seq", n_seq) if n_seq > 1 else ("--mesh_model", n_model)
-            )
-            raise ValueError(
-                f"{flag} {k} needs at least {k} devices; "
-                f"--num_devices resolves to {n}"
-            )
         return None
     if n > len(jax.devices()):
         raise ValueError(f"--num_devices {n} > available {len(jax.devices())}")
-    if n_seq > 1:
-        if n % n_seq:
-            raise ValueError(f"--num_devices {n} not divisible by --mesh_seq {n_seq}")
-        return create_mesh(n // n_seq, n_seq=n_seq)
-    if n_model > 1:
-        if n % n_model:
-            raise ValueError(
-                f"--num_devices {n} not divisible by --mesh_model {n_model}"
-            )
-        from genie2_tpu.parallel.tensor_parallel import create_tp_mesh
-
-        return create_tp_mesh(n // n_model, n_model)
-    return create_mesh(n)
+    if n % n_inner:
+        raise ValueError(
+            f"--num_devices {n} not divisible by "
+            f"--mesh_seq {n_seq} x --mesh_model {n_model} = {n_inner}"
+        )
+    return create_mesh(n // n_inner, n_seq=n_seq, n_model=n_model)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -186,7 +186,8 @@ def create_tp_mesh(
 ) -> Mesh:
     """('data', 'model') mesh; 'model' innermost so its psums ride the
     fastest ICI links (delegates to create_mesh — one device-layout
-    policy for all inner axes)."""
+    policy for all inner axes; pass n_seq there too for the 3-D
+    ('data','seq','model') composition)."""
     from genie2_tpu.parallel.mesh import create_mesh
 
-    return create_mesh(n_data, devices, n_seq=n_model, inner_axis=AXIS)
+    return create_mesh(n_data, devices, n_model=n_model)

@@ -93,9 +93,12 @@ class Trainer:
     ):
         self.config = config
         n_seq = config.tpu.get("mesh_seq", 1)
+        n_model = config.tpu.get("mesh_model", 1)
         self.mesh = (
-            create_mesh(config.tpu.get("mesh_data", -1), n_seq=n_seq)
-            if use_mesh and (len(jax.devices()) > 1 or n_seq > 1)
+            create_mesh(
+                config.tpu.get("mesh_data", -1), n_seq=n_seq, n_model=n_model
+            )
+            if use_mesh and (len(jax.devices()) > 1 or n_seq > 1 or n_model > 1)
             else None
         )
         self.model = model or Denoiser.from_config(config, mesh=self.mesh)
@@ -133,7 +136,7 @@ class Trainer:
             ema_decay=config.training.get("ema_decay", 0.0),
         )
         if self.mesh is not None:
-            self.state = replicate(self.state, self.mesh)
+            self.state = self._place_state(self.state)
         self._step_fn = make_train_step(
             self.model,
             self.schedule,
@@ -198,8 +201,22 @@ class Trainer:
             step=jnp.asarray(blob["step"], jnp.int32),
             ema=blob.get("ema"),
         )
-        self.state = replicate(state, self.mesh) if self.mesh is not None else jax.tree_util.tree_map(jnp.asarray, state)
+        self.state = (
+            self._place_state(state)
+            if self.mesh is not None
+            else jax.tree_util.tree_map(jnp.asarray, state)
+        )
         return int(blob["epoch"]), int(blob.get("step_in_epoch", 0))
+
+    def _place_state(self, state):
+        """Place a TrainState on the mesh: replicated for pure DP/seq
+        meshes; weights + Adam moments sharded over 'model' when the mesh
+        has a tensor-parallel axis (meshModel config key)."""
+        if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+            from genie2_tpu.parallel import place_train_state
+
+            return place_train_state(state, self.mesh)
+        return replicate(state, self.mesh)
 
     def _make_eval_step(self):
         """Built once, cached on the instance — a fresh jit per evaluate()
