@@ -195,6 +195,32 @@ class TestTrainerMesh3D:
             "layer_0"]["pair_transition"]["linear_1"]["Dense_0"]["kernel"]
         assert mu.sharding.spec == P(None, "model")
 
+    def test_sharded_state_checkpoint_roundtrip(self, tmp_path):
+        """save_state on a TP/3-D-sharded TrainState (device_get gathers
+        the shards to host) and restore_state must round-trip the values
+        AND re-place them sharded — params and Adam moments come back on
+        the mesh with their 'model' specs, not replicated."""
+        from genie2_tpu.train.loop import Trainer
+
+        config = _tiny(24)
+        config.io["rootdir"] = str(tmp_path)
+        config.io["name"] = "m3d_ckpt"
+        config.tpu["mesh_data"] = 2
+        config.tpu["mesh_seq"] = 2
+        config.tpu["mesh_model"] = 2
+        trainer = Trainer(config)
+        path = lambda tree: tree["params"]["pair_transform_net"]["layer_0"][
+            "pair_transition"]["linear_1"]["Dense_0"]["kernel"]
+        before = np.asarray(path(trainer.state.params))
+        trainer.save_state(epoch=0, step_in_epoch=3)
+        restored = trainer.restore_state()
+        assert restored == (0, 3)
+        kern = path(trainer.state.params)
+        assert kern.sharding.spec == P(None, "model")
+        np.testing.assert_array_equal(np.asarray(kern), before)
+        mu = path(trainer.state.opt_state[0].mu)
+        assert mu.sharding.spec == P(None, "model")
+
 
 def _read_ca_coords(path):
     coords = []

@@ -574,6 +574,51 @@ class TestSMCEndToEnd:
                 key=jax.random.PRNGKey(0),
             )
 
+    def test_tp_mesh_tds_matches_single_device(self, tmp_path):
+        """TDS on a ('data','model') TP mesh — particles sharded over
+        'data' (divisibility is checked against that axis, not the total
+        device count), weights Megatron-sharded over 'model' — must
+        reproduce the single-device run: identical placements and
+        resampling decisions, coordinates to TP-psum tolerance (partial
+        matmul products reduce in a different order than the mesh-8
+        collective case above, so the bar is the forward-pass allclose
+        bar, not 2e-5 on accumulated trajectories)."""
+        from genie2_tpu.parallel import create_tp_mesh
+
+        motif_dir = tmp_path / "motifs"
+        motif_dir.mkdir()
+        open(str(motif_dir / "0_test.pdb"), "w").write(MOTIF_TARGET_PDB)
+
+        results = {}
+        for label, mesh in (
+            ("single", None), ("tp", create_tp_mesh(n_data=2, n_model=2)),
+        ):
+            config = tiny_config(n_timestep=6)
+            model, params = make_model_and_params(config, length=24)
+            sampler = SMCSampler(model, params, config, mesh=mesh)
+            sampler.untwist_below = 2
+            out = sampler.sample(
+                {
+                    "scale": 1.0,
+                    "outdir": str(tmp_path / f"out_{label}"),
+                    "num_samples": 8,
+                    "prefix": "24",
+                    "offset": 0,
+                    "motif_index": 0,
+                    "motif_dir": str(motif_dir),
+                },
+                key=jax.random.PRNGKey(3),
+            )
+            results[label] = (
+                np.stack([f["atom_positions"] for f in out]),
+                sampler.final_placements,
+                np.asarray(sampler.trace.resampled),
+            )
+        single, tp = results["single"], results["tp"]
+        assert single[1] == tp[1]
+        np.testing.assert_array_equal(single[2], tp[2])
+        np.testing.assert_allclose(single[0], tp[0], atol=5e-4, rtol=0)
+
     def test_bf16_agrees_with_fp32_on_placement(self, tmp_path):
         """The production bf16 mode (computeDtype bf16) must infer the same
         motif placement as fp32 — measured 1.4x faster on the real chip
