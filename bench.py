@@ -18,7 +18,8 @@ Self-diagnosis (round 3): the round-2 driver capture (BENCH_r02.json,
 0.596 samples/min at ~100 ms/step with DDIM-50 at the SAME per-step cost)
 was a degraded-tunnel artifact — the real measurement, reproduced by the
 judge, was 16.6 samples/min. The harness can now tell the difference: it
-runs >=2 timed repeats (all reported), probes the null-dispatch latency
+runs >=2 timed repeats by default (all reported; BENCH_REPEATS=1 for a
+quick check), probes the null-dispatch latency
 and the raw MXU matmul rate, and stamps "degraded_environment": true when
 the per-step time exceeds the stored healthy-tunnel expectation by >3x —
 so a garbage capture flags itself instead of masquerading as a 28x
@@ -128,7 +129,9 @@ def main():
     # (3.52 vs 5.43 ms/sample at L=256; see BENCH_NOTES.md round 2).
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
-    repeats = max(2, int(os.environ.get("BENCH_REPEATS", "2")))
+    # An explicit BENCH_REPEATS=1 is honored (quick checks on a slow
+    # tunnel); the degraded-environment probes work on a single run too.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     # bf16 is the production sampling mode (fp32 is the parity mode; see
     # genie2_tpu/nn/policy.py). Override with BENCH_DTYPE=fp32.
     dtype = os.environ.get("BENCH_DTYPE", "bf16")

@@ -29,7 +29,6 @@ def create_mesh(
     devices: Optional[Sequence] = None,
     n_seq: int = 1,
     n_model: int = 1,
-    inner_axis: str = "seq",
 ) -> Mesh:
     """A data-parallel mesh over the given (default: all) devices.
 
@@ -43,10 +42,7 @@ def create_mesh(
       * both > 1 compose into a 3-D ('data', 'seq', 'model') mesh —
         long context AND sharded weights together. 'model' is innermost
         (its per-layer psums are the most latency-sensitive), 'seq'
-        next, so both inner axes ride the fastest ICI links.
-
-    `inner_axis` renames the single inner axis of a 2-D mesh (legacy
-    create_tp_mesh spelling); it is ignored for 1-D/3-D meshes."""
+        next, so both inner axes ride the fastest ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     n_inner = n_seq * n_model
     if n_data == -1:
@@ -69,7 +65,7 @@ def create_mesh(
             np.array(devices[:need]).reshape(n_data, n_seq, n_model),
             ("data", "seq", "model"),
         )
-    axis = "model" if n_model > 1 else inner_axis
+    axis = "model" if n_model > 1 else "seq"
     return Mesh(
         np.array(devices[:need]).reshape(n_data, n_inner), ("data", axis)
     )

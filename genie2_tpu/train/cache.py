@@ -126,7 +126,15 @@ def build_packed_cache(
         )
     if os.path.exists(cache_dir):
         shutil.rmtree(cache_dir)
-    os.replace(tmp_dir, cache_dir)
+    try:
+        os.replace(tmp_dir, cache_dir)
+    except OSError:
+        # Concurrent builders over a shared rootdir: another process
+        # completed its rename between our rmtree and replace
+        # (os.replace onto a re-created non-empty directory raises
+        # ENOTEMPTY). Its cache is complete — the rename publishing it
+        # is atomic — so discard ours and attach to the winner's.
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return PackedCache(cache_dir)
 
 

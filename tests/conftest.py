@@ -21,6 +21,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # (N=1024 chunked triangle attention) legitimately keep a starved thread
 # busy longer than that between collectives. Raise the timeouts; real skew
 # bugs still surface as test-level timeouts.
+# NOTE: this block is duplicated in __graft_entry__.py (both must run
+# before any jax backend init, and the dryrun cannot import test code) —
+# keep the two in lockstep when tweaking flags or timeouts.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_cpu_collective_timeout_seconds" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -193,6 +193,36 @@ class TestDatasetBackends:
         assert len(cache) == 2
         assert _os.path.exists(_os.path.join(foreign, "marker"))
 
+    def test_lost_publish_race_attaches_to_winner(self, tmp_path, monkeypatch):
+        """Two builders over a shared rootdir: the loser's os.replace hits
+        ENOTEMPTY (the winner republished cache_dir between the loser's
+        rmtree and rename) and must attach to the winner's complete cache
+        instead of crashing — the documented last-finisher-wins contract."""
+        import shutil as _shutil
+
+        from genie2_tpu.train import cache as cache_mod
+        from genie2_tpu.train.cache import build_packed_cache_from_files
+
+        paths = _write_structures(tmp_path, n=3, monomer_only=True)
+        cdir = str(tmp_path / "cache")
+
+        real_replace = os.replace
+
+        def racing_replace(src, dst):
+            # Simulate the winner publishing between our rmtree and
+            # rename: materialize a complete cache at dst, then fail the
+            # way os.replace does onto a non-empty directory.
+            _shutil.copytree(src, dst)
+            raise OSError(39, "Directory not empty", dst)
+
+        monkeypatch.setattr(cache_mod.os, "replace", racing_replace)
+        cache = build_packed_cache_from_files(paths, cdir)
+        monkeypatch.setattr(cache_mod.os, "replace", real_replace)
+        assert len(cache) == 3
+        # The loser's tmp dir was cleaned up; the winner's cache serves.
+        assert not [d for d in os.listdir(tmp_path) if ".building" in d]
+        assert cache.load(0)["atom_positions"].shape[-1] == 3
+
     def test_second_open_reuses_cache(self, tmp_path):
         paths = _write_structures(tmp_path, n=3)
         cdir = str(tmp_path / "cache")
