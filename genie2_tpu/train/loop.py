@@ -279,7 +279,17 @@ class Trainer:
         the uninterrupted loss curve exactly (tests/test_train.py).
         `save_state_every_n_step` > 0 adds mid-epoch resume points on top of
         the per-checkpoint cadence.
+
+        Preemption: fit() traps SIGTERM (the signal TPU preemptible/spot
+        pods receive before eviction) and, at the next step boundary,
+        saves resume_state and returns cleanly — so a preempted run
+        restarted with --resume continues exactly where it left off with
+        no save_state_every_n_step cadence needed. The reference has no
+        preemption handling at all (Lightning DDP defaults; SURVEY §5
+        failure-recovery row). The previous handler is restored on exit.
         """
+        import signal
+
         cfg = self.config.training
         n_epoch = n_epoch if n_epoch is not None else cfg["n_epoch"]
         batch_size = cfg["batch_size"]
@@ -306,6 +316,19 @@ class Trainer:
             )
             return n_res, device_batch
 
+        preempt = {"signum": None}
+
+        def _on_sigterm(signum, frame):
+            # Just set the flag: the step loop saves at the next step
+            # boundary (saving from inside a signal handler could tear a
+            # half-written checkpoint out of an in-flight save_state).
+            preempt["signum"] = signum
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread; run without the trap
+            prev_handler = None
+
         depth = cfg.get("prefetch_depth", 2)
         residues_done = 0
         # Host-side mirror of state.step: fetching the device counter every
@@ -313,33 +336,47 @@ class Trainer:
         # defeat the prefetch overlap entirely.
         step = int(self.state.step)
         t0 = time.perf_counter()
-        for epoch in range(start_epoch, n_epoch):
-            epoch_key = jax.random.fold_in(base_key, epoch)
-            data_rng = np.random.default_rng([cfg["seed"], epoch])
-            skip = start_batch if epoch == start_epoch else 0
-            batches = prefetch(
-                dataset.epoch(batch_size, data_rng, start_batch=skip), place, depth
-            )
-            try:
-                for b, (n_res, device_batch) in enumerate(batches, start=skip):
-                    step_key = jax.random.fold_in(epoch_key, b)
-                    self.state, metrics = self._step_fn(self.state, device_batch, step_key)
-                    step += 1
-                    residues_done += n_res
-                    metrics = dict(metrics)
-                    metrics["residues_per_s"] = residues_done / (time.perf_counter() - t0)
-                    self.logger.log(step, metrics)
-                    if save_state_every_n_step and (b + 1) % save_state_every_n_step == 0:
-                        self.save_state(epoch, b + 1)
-            finally:
-                if hasattr(batches, "close"):
-                    batches.close()
-            if val_dataset is not None:
-                val_key = jax.random.fold_in(epoch_key, 2**30)
-                val_loss = self.evaluate(val_dataset, batch_size, val_key)
-                self.logger.log(step, {"val_loss": val_loss}, prefix="val")
-            if (epoch + 1) % cfg["checkpoint_every_n_epoch"] == 0 or epoch == n_epoch - 1:
-                path = self.save_checkpoint(epoch)
-                self.save_state(epoch + 1, 0)
-                print(f"[checkpoint] epoch {epoch} -> {path}", flush=True)
+        try:
+            for epoch in range(start_epoch, n_epoch):
+                epoch_key = jax.random.fold_in(base_key, epoch)
+                data_rng = np.random.default_rng([cfg["seed"], epoch])
+                skip = start_batch if epoch == start_epoch else 0
+                batches = prefetch(
+                    dataset.epoch(batch_size, data_rng, start_batch=skip), place, depth
+                )
+                try:
+                    for b, (n_res, device_batch) in enumerate(batches, start=skip):
+                        step_key = jax.random.fold_in(epoch_key, b)
+                        self.state, metrics = self._step_fn(self.state, device_batch, step_key)
+                        step += 1
+                        residues_done += n_res
+                        metrics = dict(metrics)
+                        metrics["residues_per_s"] = residues_done / (time.perf_counter() - t0)
+                        self.logger.log(step, metrics)
+                        if save_state_every_n_step and (b + 1) % save_state_every_n_step == 0:
+                            self.save_state(epoch, b + 1)
+                        if preempt["signum"] is not None:
+                            path = self.save_state(epoch, b + 1)
+                            print(
+                                f"[preempt] signal {preempt['signum']}: saved "
+                                f"{path} (epoch {epoch}, batch {b + 1}, step "
+                                f"{step}); exiting cleanly — restart with "
+                                "--resume",
+                                flush=True,
+                            )
+                            return self.state
+                finally:
+                    if hasattr(batches, "close"):
+                        batches.close()
+                if val_dataset is not None:
+                    val_key = jax.random.fold_in(epoch_key, 2**30)
+                    val_loss = self.evaluate(val_dataset, batch_size, val_key)
+                    self.logger.log(step, {"val_loss": val_loss}, prefix="val")
+                if (epoch + 1) % cfg["checkpoint_every_n_epoch"] == 0 or epoch == n_epoch - 1:
+                    path = self.save_checkpoint(epoch)
+                    self.save_state(epoch + 1, 0)
+                    print(f"[checkpoint] epoch {epoch} -> {path}", flush=True)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return self.state

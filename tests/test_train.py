@@ -249,6 +249,64 @@ class TestTrainStep:
 
 
 class TestMidEpochResume:
+    def test_sigterm_preemption_saves_and_resumes(self, tmp_path):
+        """Graceful preemption (the TPU spot/preemptible eviction path):
+        SIGTERM mid-epoch makes fit() save resume_state at the next step
+        boundary and return cleanly — no save_state_every_n_step cadence
+        needed — and a --resume restart reproduces the uninterrupted
+        run's remaining steps and final params exactly. The previous
+        SIGTERM disposition is restored after fit()."""
+        import json
+        import os
+        import signal
+
+        from genie2_tpu.train.loop import Trainer
+
+        def make_config(rootdir):
+            config = tiny_config()
+            config.io["rootdir"] = rootdir
+            config.io["name"] = "pre"
+            config.training["n_epoch"] = 2
+            config.training["batch_size"] = 4
+            config.training["checkpoint_every_n_epoch"] = 10
+            config.training["log_every_n_step"] = 1
+            return config
+
+        ds = synthetic_dataset(8, max_n_res=24)  # 2 batches/epoch -> 4 steps
+
+        t_a = Trainer(make_config(str(tmp_path / "a")), use_mesh=False)
+        state_a = t_a.fit(ds)
+        assert int(state_a.step) == 4
+
+        prev_disposition = signal.getsignal(signal.SIGTERM)
+        config_b = make_config(str(tmp_path / "b"))
+        t_b = Trainer(config_b, use_mesh=False)
+        real_step = t_b._step_fn
+        calls = {"n": 0}
+
+        def step_then_preempt(state, batch, key):
+            out = real_step(state, batch, key)
+            calls["n"] += 1
+            if calls["n"] == 3:
+                os.kill(os.getpid(), signal.SIGTERM)  # deliver to self
+            return out
+
+        t_b._step_fn = step_then_preempt
+        state_b = t_b.fit(ds)  # returns cleanly, no exception
+        assert int(state_b.step) == 3
+        assert os.path.isdir(os.path.join(t_b.ckpt_dir, "resume_state"))
+        assert signal.getsignal(signal.SIGTERM) == prev_disposition
+
+        t_c = Trainer(config_b, use_mesh=False, resume=True)
+        assert t_c.version == t_b.version
+        state_c = t_c.fit(ds, resume=True)
+        assert int(state_c.step) == 4
+        for x, y in zip(
+            jax.tree_util.tree_leaves(state_a.params),
+            jax.tree_util.tree_leaves(state_c.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_kill_and_resume_reproduces_uninterrupted_run(self, tmp_path):
         """Step-granular resume (VERDICT Missing #4 / Weak #6): kill the run
         mid-epoch, resume from resume_state, and both the loss sequence and
