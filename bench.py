@@ -12,7 +12,9 @@ Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/min", "vs_baseline": N}
 
 Env knobs: BENCH_LENGTH (256), BENCH_BATCH (1), BENCH_STEPS (1000),
-BENCH_REPEATS (2).
+BENCH_REPEATS (2), BENCH_TIMEOUT_S (1800 — watchdog emits a
+degraded_environment record and exits if the run wedges, e.g. an
+unreachable tunnel hanging backend init).
 
 Self-diagnosis (round 3): the round-2 driver capture (BENCH_r02.json,
 0.596 samples/min at ~100 ms/step with DDIM-50 at the SAME per-step cost)
@@ -262,8 +264,49 @@ def main():
     print(json.dumps(result), flush=True)
 
 
+def _watchdog(timeout_s, done):
+    """Emit a self-flagged degraded record if the bench wedges entirely.
+
+    Motivation: a fully unreachable tunnel hangs jax.devices() itself
+    (observed this round: 3+ h where even backend init never returned).
+    Without this, the run produces NO record at all — worse than a
+    flagged one. Keeps the one-JSON-line contract: fires only when main()
+    has not completed."""
+    if done.wait(timeout_s):
+        return
+    length = int(os.environ.get("BENCH_LENGTH", "256"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    record = {
+        "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",
+        "value": 0.0,
+        "unit": "samples/min",
+        "vs_baseline": 0.0,
+        "degraded_environment": True,
+        "extra": {
+            "error": (
+                f"bench did not complete within {timeout_s:.0f}s — backend "
+                "unreachable or tunnel stalled; this capture does not "
+                "measure the framework (healthy runs finish in ~5 min)"
+            ),
+        },
+    }
+    print(json.dumps(record), flush=True)
+    sys.stderr.write("[bench] WATCHDOG: wedged environment, bailing out\n")
+    sys.stderr.flush()
+    os._exit(2)
+
+
 if __name__ == "__main__":
+    import threading
+
+    _done = threading.Event()
+    threading.Thread(
+        target=_watchdog,
+        args=(float(os.environ.get("BENCH_TIMEOUT_S", "1800")), _done),
+        daemon=True,
+    ).start()
     main()
+    _done.set()
     # The TPU tunnel in this environment hangs at interpreter teardown;
     # everything is flushed, so exit hard.
     sys.stdout.flush()
