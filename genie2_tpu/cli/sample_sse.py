@@ -36,7 +36,9 @@ def run(args):
     from genie2_tpu.sampling import soft_sse_fraction, sse_guided_sample
     from genie2_tpu.utils.model_io import load_pretrained_model
 
-    mesh = mesh_from_arg(getattr(args, "num_devices", 1))
+    mesh = mesh_from_arg(
+        getattr(args, "num_devices", 1), 1, getattr(args, "mesh_model", 1)
+    )
     model, params, config = load_pretrained_model(
         args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
     )
@@ -64,14 +66,20 @@ def run(args):
         # (sampling/smc.py): particles interact through resampling, so
         # they are sharded (XLA inserts the collectives), never padded —
         # a non-divisible particle count is an error.
-        from genie2_tpu.parallel import replicate, shard_batch
+        from genie2_tpu.parallel import place_params, replicate, shard_batch
 
-        if args.num_particles % mesh.devices.size != 0:
+        # Particles shard over 'data' only; a ('data','model') TP mesh
+        # replicates them over 'model' (the weights shard there instead).
+        n_data = dict(mesh.shape).get("data", mesh.devices.size)
+        if args.num_particles % n_data != 0:
             raise ValueError(
                 f"--num_particles {args.num_particles} must be divisible "
-                f"by the mesh size {mesh.devices.size}"
+                f"by the mesh 'data' axis ({n_data})"
             )
-        params = replicate(params, mesh)
+        if "model" in mesh.axis_names and dict(mesh.shape)["model"] > 1:
+            params = place_params(params, mesh)
+        else:
+            params = replicate(params, mesh)
         feats = shard_batch(feats, mesh)
     trans, result = sse_guided_sample(
         apply_fn,
@@ -126,6 +134,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--ema", action="store_true",
                         help="Sample from the weight-EMA checkpoint")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="Tensor-parallel the weights over this many "
+                             "devices (('data','model') mesh; particles "
+                             "shard over 'data'; outputs allclose but not "
+                             "bit-identical to 1-device)")
     parser.add_argument("--num_devices", type=int, default=1,
                         help="Shard the particle axis over an n-device "
                              "mesh (-1 = all devices; particle count must "

@@ -102,6 +102,30 @@ class TestSSEGuidedSampling:
             np.asarray(res_1.resampled_trace), np.asarray(res_8.resampled_trace)
         )
 
+    def test_tp_mesh_matches_single_device(self):
+        """The SSE CLI's --mesh_model path: particles over 'data', weights
+        Megatron-sharded over 'model' — same outputs as single-device to
+        TP-psum tolerance, resampling decisions exact."""
+        from genie2_tpu.parallel import create_tp_mesh, place_params, shard_batch
+
+        model, params, schedule, feats = self._setup(8)
+        key = jax.random.PRNGKey(4)
+        trans_1, res_1 = sse_guided_sample(
+            model.apply, params, schedule, feats, key, 8, strength=5.0
+        )
+        mesh = create_tp_mesh(n_data=2, n_model=2)
+        params_tp = place_params(params, mesh)
+        feats_s = shard_batch({k: np.asarray(v) for k, v in feats.items()}, mesh)
+        trans_tp, res_tp = sse_guided_sample(
+            model.apply, params_tp, schedule, feats_s, key, 8, strength=5.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(trans_1), np.asarray(trans_tp), atol=5e-4, rtol=0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_1.resampled_trace), np.asarray(res_tp.resampled_trace)
+        )
+
     def test_log_weights_telescope_to_final_statistic(self):
         """The defining FK property: with resampling off, the per-step
         tempered increments telescope so the final (centered) log-weights
