@@ -303,6 +303,35 @@ class TestRotationTwisting:
             assert np.isfinite(f["atom_positions"]).all()
         assert os.path.exists(str(tmp_path / "out" / "motif_location.txt"))
 
+    def test_e2e_score_proposal_composes_with_rotation_twisting(self, tmp_path):
+        """The two round-3 features together: the score-based twisted
+        proposal grads the rotation-augmented potential (dev gradient
+        variance on the translation term, rot_tausq on the SO(3) term)
+        while the FK weights keep the type-6 variance — runs end-to-end,
+        finite, placement inferred."""
+        motif_dir = tmp_path / "motifs"
+        motif_dir.mkdir()
+        open(str(motif_dir / "0_test.pdb"), "w").write(MOTIF_TARGET_PDB)
+        config = tiny_config(n_timestep=6)
+        model, params = make_model_and_params(config, length=24)
+        sampler = SMCSampler(model, params, config)
+        sampler.untwist_below = 2
+        out = sampler.sample(
+            {
+                "scale": 1.0, "outdir": str(tmp_path / "out"),
+                "num_samples": 4, "prefix": "24", "offset": 0,
+                "motif_index": 0, "motif_dir": str(motif_dir),
+                "twist_rotations": True, "rot_tausq": 0.1,
+                "proposal": "score",
+            },
+            key=jax.random.PRNGKey(0),
+        )
+        assert len(out) == 4
+        for f in out:
+            assert np.isfinite(f["atom_positions"]).all()
+        assert sampler.final_placements is not None
+        assert os.path.exists(str(tmp_path / "out" / "motif_location.txt"))
+
 
 class TestMotifTargetLoading:
     def test_parse(self, tmp_path):
