@@ -135,6 +135,10 @@ class Config:
             # the per-epoch checkpoint cadence; no reference counterpart —
             # the reference loses everything since the last epoch boundary).
             "save_state_every_n_step": int(c.get("saveStateEverySteps", 0)),
+            # Non-blocking checkpoint writes (utils/model_io.AsyncSaver):
+            # orbax serializes + writes on a background thread while
+            # training continues; publication stays atomic.
+            "async_checkpoint": bool(c.get("asyncCheckpoint", False)),
             # Async input-pipeline buffer depth (batches computed + placed
             # ahead of the device step on a background thread; 0 = fully
             # synchronous). Counterpart of the reference's DataLoader

@@ -123,6 +123,16 @@ class Trainer:
             self.workdir, log_every=config.training["log_every_n_step"]
         )
 
+        # Non-blocking checkpoint writes (asyncCheckpoint config key):
+        # orbax serializes + writes on a background thread while training
+        # continues. save/restore below route through _save_tree and drain
+        # via _ckpt_wait (fit() end, preemption, restore).
+        self._saver = None
+        if config.training.get("async_checkpoint", False):
+            from genie2_tpu.utils.model_io import AsyncSaver
+
+            self._saver = AsyncSaver()
+
         params = init_params(self.model, config, seed=config.training["seed"])
         if init_from:
             # Fine-tune: start from existing weights (orbax dir or torch
@@ -146,11 +156,21 @@ class Trainer:
             ema_decay=config.training.get("ema_decay", 0.0),
         )
 
+    def _save_tree(self, path, tree):
+        if self._saver is not None:
+            self._saver.save(path, tree)
+        else:
+            save_params(path, tree)
+
+    def _ckpt_wait(self):
+        if self._saver is not None:
+            self._saver.wait()
+
     def save_checkpoint(self, epoch: int):
         path = os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt")
-        save_params(path, jax.device_get(self.state.params))
+        self._save_tree(path, jax.device_get(self.state.params))
         if self.state.ema is not None:
-            save_params(
+            self._save_tree(
                 os.path.join(self.ckpt_dir, f"epoch={epoch}.ema.ckpt"),
                 jax.device_get(self.state.ema),
             )
@@ -176,12 +196,13 @@ class Trainer:
         }
         if self.state.ema is not None:
             blob["ema"] = jax.device_get(self.state.ema)
-        save_params(path, blob)
+        self._save_tree(path, blob)
         return path
 
     def restore_state(self):
         """Restore a resume_state checkpoint if present; returns
         (start_epoch, start_step_in_epoch) or None."""
+        self._ckpt_wait()  # an in-flight async save must land first
         path = os.path.join(self.ckpt_dir, "resume_state")
         if not os.path.isdir(path):
             return None
@@ -379,4 +400,7 @@ class Trainer:
         finally:
             if prev_handler is not None:
                 signal.signal(signal.SIGTERM, prev_handler)
+            # Drain async checkpoint writes: fit() returning means every
+            # checkpoint it reported is durably on disk.
+            self._ckpt_wait()
         return self.state

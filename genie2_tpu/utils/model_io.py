@@ -115,6 +115,33 @@ def save_params(path: str, variables: Dict[str, Any]):
     ckptr.wait_until_finished()
 
 
+class AsyncSaver:
+    """Non-blocking checkpoint writes (asyncCheckpoint config key).
+
+    save() returns once orbax has snapshotted the tree; serialization and
+    disk I/O proceed on orbax's background thread while training
+    continues. Publication is atomic (tmp dir + rename), so a reader
+    never sees a partial checkpoint — a crash mid-write just loses that
+    save. A second save() first waits out any in-flight one (saves to the
+    same path, e.g. resume_state, must serialize); wait() drains
+    everything — call it before reading back or exiting.
+
+    The reference has nothing comparable (Lightning's default checkpoint
+    callback blocks the training loop for the whole write)."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, path: str, variables: Dict[str, Any]):
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(os.path.abspath(path), variables, force=True)
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+
 def load_params(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Load either an orbax checkpoint directory or a torch Lightning .ckpt
     file (converted on the fly)."""

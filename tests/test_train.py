@@ -249,6 +249,76 @@ class TestTrainStep:
 
 
 class TestMidEpochResume:
+    def test_async_checkpoint_identical_and_resumable(self, tmp_path):
+        """asyncCheckpoint (non-blocking orbax writes): a run with async
+        checkpointing produces bit-identical params and checkpoints to the
+        sync run, and the kill-and-resume flow still works — the drain
+        points (fit end, restore_state) guarantee no partial reads."""
+        import os
+
+        from genie2_tpu.train.loop import Trainer
+        from genie2_tpu.utils.model_io import load_params
+
+        def make_config(rootdir, async_ckpt):
+            config = tiny_config()
+            config.io["rootdir"] = rootdir
+            config.io["name"] = "ac"
+            config.training["n_epoch"] = 2
+            config.training["batch_size"] = 4
+            config.training["checkpoint_every_n_epoch"] = 1
+            config.training["log_every_n_step"] = 1
+            config.training["async_checkpoint"] = async_ckpt
+            return config
+
+        ds = synthetic_dataset(8, max_n_res=24)  # 2 batches/epoch -> 4 steps
+
+        t_sync = Trainer(make_config(str(tmp_path / "s"), False), use_mesh=False)
+        state_sync = t_sync.fit(ds)
+        t_async = Trainer(make_config(str(tmp_path / "a"), True), use_mesh=False)
+        assert t_async._saver is not None
+        state_async = t_async.fit(ds)
+
+        for x, y in zip(
+            jax.tree_util.tree_leaves(state_sync.params),
+            jax.tree_util.tree_leaves(state_async.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # Epoch checkpoints landed (fit-end drain) and load identically.
+        for epoch in (0, 1):
+            p_s = os.path.join(t_sync.ckpt_dir, f"epoch={epoch}.ckpt")
+            p_a = os.path.join(t_async.ckpt_dir, f"epoch={epoch}.ckpt")
+            assert os.path.isdir(p_a)
+            for x, y in zip(
+                jax.tree_util.tree_leaves(load_params(p_s)),
+                jax.tree_util.tree_leaves(load_params(p_a)),
+            ):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        # Kill mid-epoch with async saves in flight; resume reproduces the
+        # sync run's final params exactly.
+        config_k = make_config(str(tmp_path / "k"), True)
+        t_k = Trainer(config_k, use_mesh=False)
+        real_step = t_k._step_fn
+        calls = {"n": 0}
+
+        def killing_step(state, batch, key):
+            if calls["n"] == 3:
+                raise KeyboardInterrupt
+            calls["n"] += 1
+            return real_step(state, batch, key)
+
+        t_k._step_fn = killing_step
+        with pytest.raises(KeyboardInterrupt):
+            t_k.fit(ds, save_state_every_n_step=1)
+        t_r = Trainer(config_k, use_mesh=False, resume=True)
+        state_r = t_r.fit(ds, resume=True)
+        assert int(state_r.step) == 4
+        for x, y in zip(
+            jax.tree_util.tree_leaves(state_sync.params),
+            jax.tree_util.tree_leaves(state_r.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
     def test_sigterm_preemption_saves_and_resumes(self, tmp_path):
         """Graceful preemption (the TPU spot/preemptible eviction path):
         SIGTERM mid-epoch makes fit() save resume_state at the next step
