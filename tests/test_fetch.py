@@ -1,4 +1,5 @@
-"""Dataset fetch tool (tools/fetch_afdb.py) against a local HTTP server.
+"""Dataset fetch tool (genie2_tpu/cli/fetch_afdb.py, console entry
+`genie2-fetch-afdb`) against a local HTTP server.
 
 The reference's dataset setup is a manual instruction to download 588,571
 AFDB files (/root/reference/README.md:45-47); the tool automates it. No
@@ -17,7 +18,7 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from tools.fetch_afdb import fetch_corpus, main, read_index  # noqa: E402
+from genie2_tpu.cli.fetch_afdb import fetch_corpus, main, read_index  # noqa: E402
 
 PDB_BODY = b"ATOM      1  CA  ALA A   1       0.000   0.000   0.000  1.00  0.00           C\nEND\n"
 
