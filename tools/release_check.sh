@@ -37,7 +37,8 @@ pip install -e "$REPO_ROOT" --no-deps --no-build-isolation -q
 # 3. Console entry points resolve and print help from a foreign cwd.
 cd "$WORKDIR"
 for cmd in genie2-train genie2-sample-unconditional genie2-sample-scaffold \
-           genie2-sample-motif-smc genie2-sample-sse genie2-convert-checkpoint; do
+           genie2-sample-motif-smc genie2-sample-sse genie2-convert-checkpoint \
+           genie2-fetch-afdb; do
   command -v "$cmd" >/dev/null || { echo "MISSING entry point: $cmd"; exit 1; }
   "$cmd" --help >/dev/null
   echo "ok: $cmd --help"
