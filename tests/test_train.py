@@ -269,11 +269,19 @@ class TestMidEpochResume:
         from genie2_tpu.train.loop import Trainer
         from genie2_tpu.utils.model_io import load_params
 
-        prev_cache = _jax.config.jax_compilation_cache_dir
-        _jax.config.update("jax_compilation_cache_dir", None)
-        request.addfinalizer(
-            lambda: _jax.config.update("jax_compilation_cache_dir", prev_cache)
-        )
+        # NOTE: a config update alone does NOT disable the cache once any
+        # compile has happened — compilation_cache.is_cache_used memoizes
+        # its decision per task; reset_cache() is what un-sticks it.
+        from jax._src import compilation_cache as _cc
+
+        _jax.config.update("jax_enable_compilation_cache", False)
+        _cc.reset_cache()
+
+        def _restore():
+            _jax.config.update("jax_enable_compilation_cache", True)
+            _cc.reset_cache()
+
+        request.addfinalizer(_restore)
 
         def make_config(rootdir, async_ckpt):
             config = tiny_config()
