@@ -127,7 +127,15 @@ class AsyncSaver:
     everything — call it before reading back or exiting.
 
     The reference has nothing comparable (Lightning's default checkpoint
-    callback blocks the training loop for the whole write)."""
+    callback blocks the training loop for the whole write).
+
+    Caveat (CPU hosts): issuing a FRESH XLA compilation after async saves
+    have run segfaulted in native code on a 1-core CPU host (jax CPU
+    backend_compile_and_load with orbax's writer machinery warm; observed
+    in full test-suite runs, cache on and off). Training's natural order
+    — the step compiles on its first call, checkpoints follow — never
+    hits this; avoid introducing mid-training recompiles (new jit
+    closures / new shapes) between async saves on CPU."""
 
     def __init__(self):
         import orbax.checkpoint as ocp

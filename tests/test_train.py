@@ -319,9 +319,16 @@ class TestMidEpochResume:
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
         # Kill mid-epoch with async saves in flight; resume reproduces the
-        # sync run's final params exactly.
+        # sync run's final params exactly. Both follow-up trainers REUSE
+        # t_async's compiled step: on this host, a fresh XLA compile
+        # issued after orbax async saves have run segfaults in native
+        # code (backend_compile_and_load — reproduced twice in full-suite
+        # runs, with the compilation cache on AND off; standalone runs
+        # pass). Identical config -> identical step semantics, so the
+        # reuse changes nothing under test.
         config_k = make_config(str(tmp_path / "k"), True)
         t_k = Trainer(config_k, use_mesh=False)
+        t_k._step_fn = t_async._step_fn
         real_step = t_k._step_fn
         calls = {"n": 0}
 
@@ -335,6 +342,7 @@ class TestMidEpochResume:
         with pytest.raises(KeyboardInterrupt):
             t_k.fit(ds, save_state_every_n_step=1)
         t_r = Trainer(config_k, use_mesh=False, resume=True)
+        t_r._step_fn = t_async._step_fn
         state_r = t_r.fit(ds, resume=True)
         assert int(state_r.step) == 4
         for x, y in zip(
