@@ -139,6 +139,14 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     landing on its addressable devices. This replaces the reference's
     Lightning/DDP per-rank DistributedSampler (train.py:54-65)."""
     sharding = batch_sharding(mesh)
+    n_data = dict(mesh.shape).get("data", mesh.devices.size)
+    for k, v in batch.items():
+        if hasattr(v, "shape") and v.shape and v.shape[0] % n_data:
+            raise ValueError(
+                f"batch axis {v.shape[0]} (key {k!r}) not divisible by the "
+                f"mesh 'data' axis ({n_data}); pick a divisible batchSize "
+                "or shrink meshData"
+            )
     n_proc = jax.process_count()
     if n_proc == 1:
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
