@@ -32,13 +32,18 @@ DEFAULT_BASE_URL = "https://alphafold.ebi.ac.uk/files"
 
 
 def read_index(path: str, limit: int = 0):
-    names = []
+    """Read an index, order-preserving and DEDUPED — duplicate entries
+    would race two same-process workers on one tmp path."""
+    names, seen = [], set()
     with open(path) as f:
         for line in f:
             name = line.strip()
             if not name or name.startswith("#"):
                 continue
-            names.append(name[:-4] if name.endswith(".pdb") else name)
+            name = name[:-4] if name.endswith(".pdb") else name
+            if name not in seen:
+                seen.add(name)
+                names.append(name)
     return names[:limit] if limit else names
 
 
@@ -47,11 +52,14 @@ def fetch_one(
 ) -> str:
     """Download one structure; returns 'ok' | 'skipped' | an error string.
     Atomic: writes to a per-pid tmp file, renames into place on success."""
+    import threading
+
     dest = os.path.join(outdir, f"{name}.pdb")
     if os.path.exists(dest) and os.path.getsize(dest) > 0:
         return "skipped"
     url = f"{base_url}/{name}.pdb"
-    tmp = f"{dest}.part.{os.getpid()}"
+    # pid AND thread id: workers are same-pid threads.
+    tmp = f"{dest}.part.{os.getpid()}.{threading.get_ident()}"
     last_err = "unknown"
     for attempt in range(retries):
         try:
@@ -73,7 +81,8 @@ def fetch_one(
                 break  # permanent: retrying a 404 will not help
         except Exception as e:  # URLError, timeout, OSError
             last_err = str(e)
-        time.sleep(min(2.0**attempt, 8.0))
+        if attempt < retries - 1:  # no useless sleep after the last try
+            time.sleep(min(2.0**attempt, 8.0))
     if os.path.exists(tmp):
         os.remove(tmp)
     return last_err
@@ -91,6 +100,15 @@ def fetch_corpus(
     """Returns (n_ok, n_skipped, failures: {name: reason})."""
     names = read_index(index_path, limit)
     os.makedirs(outdir, exist_ok=True)
+    # Sweep .part debris from killed runs (their pids/threads are gone;
+    # completed files were renamed away from these names atomically).
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(outdir, "*.part.*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     n_ok = n_skip = 0
     failures = {}
     done = 0

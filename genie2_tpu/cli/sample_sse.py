@@ -66,17 +66,22 @@ def run(args):
         # (sampling/smc.py): particles interact through resampling, so
         # they are sharded (XLA inserts the collectives), never padded —
         # a non-divisible particle count is an error.
-        from genie2_tpu.parallel import place_params, replicate, shard_batch
+        from genie2_tpu.parallel import (
+            data_axis_size,
+            place_params,
+            replicate,
+            shard_batch,
+        )
 
         # Particles shard over 'data' only; a ('data','model') TP mesh
         # replicates them over 'model' (the weights shard there instead).
-        n_data = dict(mesh.shape).get("data", mesh.devices.size)
+        n_data = data_axis_size(mesh)
         if args.num_particles % n_data != 0:
             raise ValueError(
                 f"--num_particles {args.num_particles} must be divisible "
                 f"by the mesh 'data' axis ({n_data})"
             )
-        if "model" in mesh.axis_names and dict(mesh.shape)["model"] > 1:
+        if "model" in mesh.axis_names:  # size-1 axes are dropped by create_mesh
             params = place_params(params, mesh)
         else:
             params = replicate(params, mesh)

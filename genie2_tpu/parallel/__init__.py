@@ -2,6 +2,7 @@ from genie2_tpu.parallel.mesh import (
     batch_sharding,
     constrain,
     create_mesh,
+    data_axis_size,
     mesh_from_arg,
     pair_sharding,
     replicate,
@@ -23,6 +24,7 @@ __all__ = [
     "pair_sharding",
     "create_mesh",
     "create_tp_mesh",
+    "data_axis_size",
     "mesh_from_arg",
     "place_params",
     "place_train_state",

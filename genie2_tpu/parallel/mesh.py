@@ -106,6 +106,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Size of the 'data' axis — the divisor for batch/particle counts.
+    Batches and particles shard over 'data' only; 'seq'/'model' axes
+    replicate them (the pair tensor / the weights shard there instead)."""
+    return dict(mesh.shape).get("data", mesh.devices.size)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -139,7 +146,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     landing on its addressable devices. This replaces the reference's
     Lightning/DDP per-rank DistributedSampler (train.py:54-65)."""
     sharding = batch_sharding(mesh)
-    n_data = dict(mesh.shape).get("data", mesh.devices.size)
+    n_data = data_axis_size(mesh)
     for k, v in batch.items():
         if hasattr(v, "shape") and v.shape and v.shape[0] % n_data:
             raise ValueError(

@@ -66,7 +66,7 @@ class BaseSampler(ABC):
         # single-device outputs (tests/test_cli.py).
         self.mesh = mesh
         if mesh is not None:
-            if "model" in mesh.axis_names and dict(mesh.shape)["model"] > 1:
+            if "model" in mesh.axis_names:  # size-1 axes dropped by create_mesh
                 # Tensor parallelism: weights sharded over the 'model'
                 # axis (parallel/tensor_parallel.py); activations follow
                 # via GSPMD. Outputs are allclose (not bit-identical) to
@@ -236,7 +236,9 @@ class BaseSampler(ABC):
             # and they are sliced off below. (On a 2-D ('data','seq') mesh
             # only the data axis carries batch; 'seq' shards the pair
             # tensor inside the model.)
-            n_dev = dict(self.mesh.shape).get("data", self.mesh.devices.size)
+            from genie2_tpu.parallel import data_axis_size
+
+            n_dev = data_axis_size(self.mesh)
             n_total = -(-n_real // n_dev) * n_dev
             if n_total != n_real:
                 reps = n_total - n_real

@@ -434,7 +434,9 @@ class SMCSampler(BaseSampler):
             # replicates them over 'model' (weights shard there instead,
             # placed in BaseSampler.__init__), so divisibility is vs the
             # data-axis size, not the total device count.
-            n_data = dict(self.mesh.shape).get("data", self.mesh.devices.size)
+            from genie2_tpu.parallel import data_axis_size
+
+            n_data = data_axis_size(self.mesh)
             if n_particles % n_data != 0:
                 raise ValueError(
                     f"num_particles={n_particles} must be divisible by the "

@@ -15,6 +15,7 @@ over the jitted data-parallel train step:
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from typing import Dict, Optional
 
@@ -185,6 +186,26 @@ class Trainer:
     # function of (seed, epoch, batch index) — see fit().
     # -------------------------------------------------------------- #
 
+    def _promote_resume(self):
+        """Fold a committed resume_state.new over resume_state.
+
+        save_state always writes to the .new name: orbax's force=True
+        overwrite DELETES the destination before the (possibly async)
+        write commits, so saving straight onto resume_state would leave a
+        window — the whole background-write duration with asyncCheckpoint
+        on — where NO resume point exists on disk; a SIGKILL there (the
+        preemption grace-period expiring) would destroy the only resume
+        state. With the .new scheme a complete checkpoint exists at every
+        instant: orbax commits .new atomically (tmp + rename), and this
+        promote rmtree's the old copy only while the newer .new is
+        already complete."""
+        base = os.path.join(self.ckpt_dir, "resume_state")
+        new = base + ".new"
+        if os.path.isdir(new):
+            if os.path.isdir(base):
+                shutil.rmtree(base)
+            os.replace(new, base)
+
     def save_state(self, epoch: int, step_in_epoch: int = 0):
         path = os.path.join(self.ckpt_dir, "resume_state")
         blob = {
@@ -196,13 +217,18 @@ class Trainer:
         }
         if self.state.ema is not None:
             blob["ema"] = jax.device_get(self.state.ema)
-        self._save_tree(path, blob)
+        # Land (and promote) any previous save first, then write to .new —
+        # see _promote_resume for why never directly onto resume_state.
+        self._ckpt_wait()
+        self._promote_resume()
+        self._save_tree(path + ".new", blob)
         return path
 
     def restore_state(self):
         """Restore a resume_state checkpoint if present; returns
         (start_epoch, start_step_in_epoch) or None."""
         self._ckpt_wait()  # an in-flight async save must land first
+        self._promote_resume()
         path = os.path.join(self.ckpt_dir, "resume_state")
         if not os.path.isdir(path):
             return None
@@ -233,7 +259,7 @@ class Trainer:
         """Place a TrainState on the mesh: replicated for pure DP/seq
         meshes; weights + Adam moments sharded over 'model' when the mesh
         has a tensor-parallel axis (meshModel config key)."""
-        if "model" in self.mesh.axis_names and self.mesh.shape["model"] > 1:
+        if "model" in self.mesh.axis_names:  # size-1 axes dropped by create_mesh
             from genie2_tpu.parallel import place_train_state
 
             return place_train_state(state, self.mesh)
@@ -345,10 +371,15 @@ class Trainer:
             # half-written checkpoint out of an in-flight save_state).
             preempt["signum"] = signum
 
+        # Sentinel (not None): signal.signal legitimately returns None when
+        # the previous handler was installed outside Python — restoring
+        # must still happen then (to SIG_DFL, the closest expressible),
+        # or _on_sigterm would outlive fit() and swallow SIGTERM forever.
+        no_trap = object()
         try:
             prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
         except ValueError:  # not the main thread; run without the trap
-            prev_handler = None
+            prev_handler = no_trap
 
         depth = cfg.get("prefetch_depth", 2)
         residues_done = 0
@@ -398,9 +429,14 @@ class Trainer:
                     self.save_state(epoch + 1, 0)
                     print(f"[checkpoint] epoch {epoch} -> {path}", flush=True)
         finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
-            # Drain async checkpoint writes: fit() returning means every
-            # checkpoint it reported is durably on disk.
+            if prev_handler is not no_trap:
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_handler if prev_handler is not None else signal.SIG_DFL,
+                )
+            # Drain async checkpoint writes and promote the last resume
+            # point to its canonical name: fit() returning (or raising)
+            # means every checkpoint it reported is durably on disk.
             self._ckpt_wait()
+            self._promote_resume()
         return self.state

@@ -351,6 +351,38 @@ class TestMidEpochResume:
         ):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_resume_state_save_never_leaves_a_gap(self, tmp_path):
+        """Crash-safety of the resume-point overwrite: orbax force=True
+        DELETES the destination before the new write commits, so saving
+        straight onto resume_state would leave a no-resume-point window
+        (fatal on the preemption path: SIGKILL mid-write after the grace
+        period). save_state therefore writes to resume_state.new and
+        promotes the previous save first — a complete checkpoint exists
+        at every instant, and restore picks the newest."""
+        import os
+
+        from genie2_tpu.train.loop import Trainer
+
+        config = tiny_config()
+        config.io["rootdir"] = str(tmp_path)
+        config.io["name"] = "gap"
+        trainer = Trainer(config, use_mesh=False)
+        base = os.path.join(trainer.ckpt_dir, "resume_state")
+
+        trainer.save_state(0, 1)
+        # First save lives at .new, complete (orbax committed it).
+        assert os.path.isdir(base + ".new")
+        trainer.save_state(0, 2)
+        # Previous promoted, newer at .new: TWO complete checkpoints —
+        # the window where the old one is deleted only opens while the
+        # newer is already committed (see _promote_resume).
+        assert os.path.isdir(base) and os.path.isdir(base + ".new")
+
+        t2 = Trainer(config, use_mesh=False, resume=True)
+        assert t2.version == trainer.version
+        assert t2.restore_state() == (0, 2)  # newest wins
+        assert os.path.isdir(base) and not os.path.isdir(base + ".new")
+
     def test_sigterm_preemption_saves_and_resumes(self, tmp_path):
         """Graceful preemption (the TPU spot/preemptible eviction path):
         SIGTERM mid-epoch makes fit() save resume_state at the next step

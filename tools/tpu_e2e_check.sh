@@ -9,6 +9,7 @@
 # compile on a healthy tunnel; every stage is timeout-bounded so a
 # degraded tunnel fails fast instead of wedging.
 set -x
+set -o pipefail  # the *_EXIT echoes must report the CLI's status, not tail's
 cd "$(dirname "$0")/.."
 D=${1:-/tmp/vfy_r3}
 
