@@ -264,6 +264,38 @@ def main():
     print(json.dumps(result), flush=True)
 
 
+def emit_degraded_record(error: str, exit_code: int | None = None):
+    """Print the one-line degraded JSON record (the bench's output contract)
+    and optionally exit.
+
+    Every failure mode must produce a parseable record: BENCH_r03.json was
+    `parsed: null` because a backend-init crash (tunnel outage →
+    `RuntimeError: Unable to initialize backend 'axon'`) escaped as an
+    unhandled traceback with rc=1. A capture that flags itself as degraded
+    is strictly more useful than a crash."""
+    def _env_int(name, default):
+        try:
+            return int(os.environ.get(name, default))
+        except ValueError:
+            return default
+
+    length = _env_int("BENCH_LENGTH", 256)
+    n_steps = _env_int("BENCH_STEPS", 1000)
+    record = {
+        "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",
+        "value": 0.0,
+        "unit": "samples/min",
+        "vs_baseline": 0.0,
+        "degraded_environment": True,
+        "extra": {"error": error},
+    }
+    print(json.dumps(record), flush=True)
+    sys.stderr.write(f"[bench] DEGRADED: {error}\n")
+    sys.stderr.flush()
+    if exit_code is not None:
+        os._exit(exit_code)
+
+
 def _watchdog(timeout_s, done):
     """Emit a self-flagged degraded record if the bench wedges entirely.
 
@@ -274,27 +306,13 @@ def _watchdog(timeout_s, done):
     has not completed."""
     if done.wait(timeout_s):
         return
-    length = int(os.environ.get("BENCH_LENGTH", "256"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
-    record = {
-        "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",
-        "value": 0.0,
-        "unit": "samples/min",
-        "vs_baseline": 0.0,
-        "degraded_environment": True,
-        "extra": {
-            "error": (
-                f"bench did not complete within {timeout_s:.0f}s — backend "
-                "unreachable or tunnel stalled; this capture does not "
-                "measure the framework (healthy runs at default settings "
-                "finish in ~5 min)"
-            ),
-        },
-    }
-    print(json.dumps(record), flush=True)
-    sys.stderr.write("[bench] WATCHDOG: wedged environment, bailing out\n")
-    sys.stderr.flush()
-    os._exit(2)
+    emit_degraded_record(
+        f"bench did not complete within {timeout_s:.0f}s — backend "
+        "unreachable or tunnel stalled; this capture does not "
+        "measure the framework (healthy runs at default settings "
+        "finish in ~5 min)",
+        exit_code=0,
+    )
 
 
 if __name__ == "__main__":
@@ -304,17 +322,32 @@ if __name__ == "__main__":
     # Default watchdog budget scales with the configured workload so a
     # healthy long run (more repeats/steps) is not killed and mislabeled
     # degraded; BENCH_TIMEOUT_S overrides outright.
-    _scale = max(
-        1.0,
-        max(1, int(os.environ.get("BENCH_REPEATS", "2"))) / 2.0
-        * max(1, int(os.environ.get("BENCH_STEPS", "1000"))) / 1000.0,
-    )
+    try:
+        _scale = max(
+            1.0,
+            max(1, int(os.environ.get("BENCH_REPEATS", "2"))) / 2.0
+            * max(1, int(os.environ.get("BENCH_STEPS", "1000"))) / 1000.0,
+        )
+    except ValueError:  # malformed knob: main() will report it as degraded
+        _scale = 1.0
     threading.Thread(
         target=_watchdog,
         args=(float(os.environ.get("BENCH_TIMEOUT_S", str(1800 * _scale))), _done),
         daemon=True,
     ).start()
-    main()
+    try:
+        main()
+    except BaseException as exc:  # noqa: BLE001 — output contract over purity
+        # A crash (backend init failure, OOM, anything) must still yield
+        # a parseable self-flagged record, not a bare traceback (the
+        # BENCH_r03 `parsed: null` bug).
+        import traceback
+
+        traceback.print_exc()
+        _done.set()
+        emit_degraded_record(
+            f"bench crashed: {type(exc).__name__}: {exc}", exit_code=0
+        )
     _done.set()
     # The TPU tunnel in this environment hangs at interpreter teardown;
     # everything is flushed, so exit hard.

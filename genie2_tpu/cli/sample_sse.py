@@ -40,7 +40,8 @@ def run(args):
         getattr(args, "num_devices", 1), 1, getattr(args, "mesh_model", 1)
     )
     model, params, config = load_pretrained_model(
-        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False)
+        args.rootdir, args.name, args.epoch, ema=getattr(args, "ema", False),
+        mesh=mesh,
     )
     schedule = Schedule.create(
         config.diffusion["n_timestep"], config.diffusion["schedule"]

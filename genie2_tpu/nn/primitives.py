@@ -129,17 +129,16 @@ class Attention(nn.Module):
 
         n_row = q.shape[-4] if q.ndim >= 4 else 0
         if self.row_chunk and q.ndim >= 4 and n_row > self.row_chunk:
-            # Non-divisible n_row: round the chunk DOWN to the largest
-            # divisor rather than silently falling back to the full
-            # O(n_row H Q K) logits — the memory bound is the whole point
-            # of the flag (worst case chunk=1 for prime n_row; bucketed
-            # lengths are multiples of 32 in practice). Applies during
-            # init too: the chunk body has no submodules, so params are
-            # identical and an eager init stays memory-bounded.
-            chunk = self.row_chunk
-            if n_row % chunk:
-                chunk = max(d for d in range(1, chunk + 1) if n_row % d == 0)
-            o = _row_chunked_attention(q, k, v, list(biases or []), chunk, n_row)
+            # Non-divisible n_row: the scan pads the row axis up to the
+            # next chunk multiple and discards the tail, so the requested
+            # chunk (and the memory bound — the whole point of the flag)
+            # holds for ANY n_row including primes, instead of degrading
+            # toward chunk=1 divisors. Applies during init too: the chunk
+            # body has no submodules, so params are identical and an eager
+            # init stays memory-bounded.
+            o = _row_chunked_attention(
+                q, k, v, list(biases or []), self.row_chunk, n_row
+            )
         else:
             # [*, H, Q, K]
             a = jnp.einsum("...qhc,...khc->...hqk", q, k) / math.sqrt(c)
@@ -167,9 +166,26 @@ def _row_chunked_attention(q, k, v, biases, chunk, n_row):
     A bias is sliced per-chunk iff it has q's rank and its -4 dim equals
     n_row (the per-row mask bias); same-rank biases with a broadcast -4
     dim (the row-invariant triangle bias) and lower-rank biases are passed
-    whole into every chunk."""
+    whole into every chunk.
+
+    Non-divisible n_row: the row axis is zero-padded up to the next chunk
+    multiple and the padded rows are sliced off after the scan. Rows are
+    independent (the softmax key axis is within-row), so the pad rows
+    compute garbage that is simply discarded — real-row numerics are
+    untouched."""
     scale = 1.0 / math.sqrt(q.shape[-1])
     per_row = [b.ndim == q.ndim and b.shape[-4] == n_row for b in biases]
+
+    pad = (-n_row) % chunk
+    if pad:
+        def pad_rows(x):
+            widths = [(0, 0)] * x.ndim
+            widths[x.ndim - 4] = (0, pad)
+            return jnp.pad(x, widths)
+
+        q, k, v = pad_rows(q), pad_rows(k), pad_rows(v)
+        biases = [pad_rows(b) if sl else b for b, sl in zip(biases, per_row)]
+    n_padded = n_row + pad
 
     def body(_, i0):
         q_blk = jax.lax.dynamic_slice_in_dim(q, i0, chunk, axis=-4)
@@ -183,7 +199,10 @@ def _row_chunked_attention(q, k, v, biases, chunk, n_row):
         a = jax.nn.softmax(a, axis=-1)
         return None, jnp.einsum("...hqk,...khc->...qhc", a, v_blk)
 
-    _, ys = jax.lax.scan(body, None, jnp.arange(0, n_row, chunk))
-    # ys: [n_chunks, *batch, chunk, J, h, c] -> [*batch, n_row, J, h, c]
+    _, ys = jax.lax.scan(body, None, jnp.arange(0, n_padded, chunk))
+    # ys: [n_chunks, *batch, chunk, J, h, c] -> [*batch, n_padded, J, h, c]
     ys = jnp.moveaxis(ys, 0, -5)
-    return ys.reshape(*ys.shape[:-5], n_row, *ys.shape[-3:])
+    ys = ys.reshape(*ys.shape[:-5], n_padded, *ys.shape[-3:])
+    if pad:
+        ys = jax.lax.slice_in_dim(ys, 0, n_row, axis=ys.ndim - 4)
+    return ys

@@ -193,6 +193,12 @@ def fused_ipa_attention(
     """Fused attention middle of IPA. Input shapes as _reference_attention
     ([N, H, ...] layout); head-major relayout happens here in XLA.
     Returns (o [N,H,C], o_pt [N,H,Pv,3] global frame, o_pair [N,H,Cz])."""
+    if not _PALLAS_OK:
+        raise RuntimeError(
+            "fused_ipa_attention requires jax.experimental.pallas (TPU); "
+            "the import failed on this installation — use the default XLA "
+            "IPA path (useFusedIPA=False)."
+        )
     n, h, c = q.shape
     pq = q_pts.shape[-2]
     pv = v_pts.shape[-2]

@@ -136,6 +136,12 @@ def flash_tri_attention(
     Batch via jax.vmap. Default tile_rows is dtype-aware: 32 for 2-byte
     inputs, 16 for fp32 (32-row fp32 tiles overflow the 16 MB scoped-VMEM
     budget — measured 18.19M at 32x128x128)."""
+    if not _PALLAS_OK:
+        raise RuntimeError(
+            "flash_tri_attention requires jax.experimental.pallas (TPU); "
+            "the import failed on this installation — use the XLA "
+            "row-chunked path (triangleAttentionChunk)."
+        )
     n_i, n_j, h, c = q.shape
     if tile_rows is None:
         tile_rows = 32 if jnp.dtype(q.dtype).itemsize <= 2 else 16

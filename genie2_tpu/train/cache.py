@@ -33,6 +33,7 @@ host RSS stays bounded by the OS page cache, not the corpus size.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -128,12 +129,19 @@ def build_packed_cache(
         shutil.rmtree(cache_dir)
     try:
         os.replace(tmp_dir, cache_dir)
-    except OSError:
+    except OSError as exc:
         # Concurrent builders over a shared rootdir: another process
         # completed its rename between our rmtree and replace
         # (os.replace onto a re-created non-empty directory raises
         # ENOTEMPTY). Its cache is complete — the rename publishing it
         # is atomic — so discard ours and attach to the winner's.
+        # Anything else (EACCES, EXDEV, ...) is a genuine failure: the
+        # winner's cache does not exist, so re-raise instead of handing
+        # PackedCache a missing directory.
+        if exc.errno not in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
+            raise
+        if not is_packed_cache(cache_dir):
+            raise
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return PackedCache(cache_dir)
 

@@ -96,6 +96,66 @@ class TestBenchDiagnosis:
         expected, degraded = bench.diagnose_degraded(1e9, 123, 7, "bf16")
         assert expected is None and not degraded
 
+    @staticmethod
+    def _assert_one_degraded_record(proc):
+        import json
+
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+        assert len(lines) == 1, proc.stdout
+        record = json.loads(lines[0])
+        assert record["degraded_environment"] is True
+        assert record["value"] == 0.0
+        assert "unit" in record and "vs_baseline" in record
+        assert "error" in record["extra"]
+        return record
+
+    def test_crash_emits_parseable_degraded_record(self):
+        """ANY exception escaping main() must still produce the one-line
+        JSON record with degraded_environment=true and rc=0 (BENCH_r03 was
+        `parsed: null` because the tunnel-outage RuntimeError escaped as a
+        bare traceback with rc=1). A malformed env knob crashes main()
+        deterministically, before any backend touch."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["BENCH_LENGTH"] = "not_an_int"
+        repo_root = os.path.join(os.path.dirname(__file__), "..")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo_root, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=240,
+        )
+        record = self._assert_one_degraded_record(proc)
+        assert "ValueError" in record["extra"]["error"]
+
+    def test_unreachable_backend_emits_parseable_degraded_record(self):
+        """Backend-init failure (the actual BENCH_r03 mode). On this image
+        the axon plugin registers via sitecustomize regardless of
+        JAX_PLATFORMS; with the tunnel dead init HANGS (watchdog path), and
+        with it alive the bogus platform name raises at first use
+        (try/except path). Either way: one parseable degraded record, rc=0."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "no_such_backend"
+        env["BENCH_TIMEOUT_S"] = "90"
+        repo_root = os.path.join(os.path.dirname(__file__), "..")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo_root, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=300,
+        )
+        self._assert_one_degraded_record(proc)
+
 
 class TestManifestLabels:
     def test_many_segment_labels_distinct(self):

@@ -41,20 +41,42 @@ class TestRowChunkedTriangleAttention:
             np.asarray(out_p), np.asarray(out_c), atol=1e-6, rtol=1e-6
         )
 
-    def test_non_divisible_rounds_chunk_down(self):
-        # N=16 with chunk 5: rounds down to the largest divisor (4) and
-        # stays memory-bounded — never a silent full-logits fallback
-        # (that would reintroduce the O(H N^3) blowup the flag exists to
-        # prevent, surfacing as an OOM at exactly the configured scale).
-        x, mask, _, _ = _pair_inputs()
+    @pytest.mark.parametrize("n,chunk", [(16, 5), (17, 8), (13, 8)])
+    def test_non_divisible_pads_ragged_tail(self, n, chunk):
+        # Non-divisible (incl. prime) n_row: the scan pads the row axis to
+        # the next chunk multiple and discards the tail, keeping the
+        # requested chunk size — never a silent full-logits fallback (the
+        # O(H N^3) blowup the flag exists to prevent) and never a
+        # chunk=1 divisor degradation (n_row scan dispatches).
+        x, mask, _, _ = _pair_inputs(n=n)
         plain = TriangleAttention(8, 4, 2)
-        odd = TriangleAttention(8, 4, 2, row_chunk=5)
+        odd = TriangleAttention(8, 4, 2, row_chunk=chunk)
         params = plain.init(jax.random.PRNGKey(1), x, mask)
         np.testing.assert_allclose(
             np.asarray(jax.jit(plain.apply)(params, x, mask)),
             np.asarray(jax.jit(odd.apply)(params, x, mask)),
             atol=1e-6, rtol=1e-6,
         )
+
+    def test_non_divisible_gradients_match(self):
+        # Gradients flow through the pad+slice unchanged (pad rows are
+        # disconnected from the sliced output).
+        x, mask, _, _ = _pair_inputs(n=13)
+        plain = TriangleAttention(8, 4, 2)
+        chunked = TriangleAttention(8, 4, 2, row_chunk=8)
+        params = plain.init(jax.random.PRNGKey(1), x, mask)
+
+        def grads(mod):
+            def f(p, xin):
+                return jnp.sum(mod.apply(p, xin, mask) ** 2)
+
+            return jax.jit(jax.grad(f, argnums=(0, 1)))(params, x)
+
+        g_p, gx_p = grads(plain)
+        g_c, gx_c = grads(chunked)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_c), atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_c)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
     def test_gradients_match(self):
         """The chunked scan differentiates to the same gradients (training
