@@ -1,0 +1,162 @@
+"""Validation against the REAL trained-Genie-2 trajectory fixtures.
+
+`/root/reference/test/` holds 38 coordinate dumps written by an actual
+trained-model TDS run (reference writer:
+genie/sampler/smc_sampler_new_new.py:802-812): paired x̂₀ / xₜ PDBs for
+particle 0 at every 50th reverse step t ∈ {50, ..., 950}, 75 residues,
+T=1000 cosine schedule. They are the only trained-model numerical signal
+available in this environment (released weights are LFS pointers), and
+they admit weights-independent checks of THIS repo's diffusion tables:
+
+The writer computes x̂₀ = xₜ/√ᾱₜ − ẑ·√(1−ᾱₜ)/√ᾱₜ with the trained
+model's noise prediction ẑ (reference ddpm.py coefficient tables). That
+affine relation inverts exactly: ẑ = (xₜ − √ᾱₜ·x̂₀)/√(1−ᾱₜ). Using OUR
+`Schedule.create(1000)` tables on the reference's dumps must therefore
+recover a unit-scale noise prediction at every step — and measured, it
+does: std(ẑ) ∈ [0.83, 0.92] for all t ≤ 600 (the in-distribution span of
+the guided run). The check has teeth: a linear-β schedule yields median
+std 2.6, and a ±50 index shift sends the max to 1.2–43 (negative
+controls asserted below). This validates the cosine ᾱ table, its
+[T+1] indexing convention, AND the xₜ/x̂₀ dump semantics against the
+real Genie 2 run rather than a reimplementation of it.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+FIXTURE_DIR = "/root/reference/test"
+STEPS = list(range(50, 1000, 50))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURE_DIR) or not glob.glob(os.path.join(FIXTURE_DIR, "x0_*")),
+    reason="reference trajectory fixtures unavailable",
+)
+
+
+def load_ca(path):
+    """CA coordinates from a fixed-column PDB dump, [N, 3] float64."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("ATOM"):
+                rows.append(
+                    [float(line[30:38]), float(line[38:46]), float(line[46:54])]
+                )
+    return np.asarray(rows, dtype=np.float64)
+
+
+def load_pairs():
+    out = {}
+    for t in STEPS:
+        x0 = load_ca(os.path.join(FIXTURE_DIR, f"x0_predicted_test_{t}.pdb"))
+        xt = load_ca(os.path.join(FIXTURE_DIR, f"xt_predicted_test_{t}.pdb"))
+        assert x0.shape == xt.shape == (75, 3)
+        out[t] = (x0, xt)
+    return out
+
+
+def our_tables():
+    from genie2_tpu.diffusion import Schedule
+
+    s = Schedule.create(1000)
+    return (
+        np.asarray(s.sqrt_alphas_cumprod, np.float64),
+        np.asarray(s.sqrt_one_minus_alphas_cumprod, np.float64),
+    )
+
+
+def recovered_z_std(pairs, sac, som, steps):
+    return {
+        t: float(((pairs[t][1] - sac[t] * pairs[t][0]) / som[t]).std())
+        for t in steps
+    }
+
+
+class TestScheduleAgainstTrainedRun:
+    def test_recovered_noise_is_unit_scale_under_our_schedule(self):
+        """(xₜ − √ᾱₜ·x̂₀)/√(1−ᾱₜ) with OUR cosine tables must be the trained
+        model's O(1) noise prediction at every dumped step."""
+        pairs = load_pairs()
+        sac, som = our_tables()
+        stds = recovered_z_std(pairs, sac, som, STEPS)
+        # In-distribution span of the guided run: tight band (measured
+        # 0.827..0.924; generous margin for the fixed-width PDB rounding).
+        for t in range(50, 650, 50):
+            assert 0.70 <= stds[t] <= 1.05, (t, stds[t])
+        # Full trajectory incl. the SMC out-of-distribution excursion at
+        # t=650-850 (x̂₀ degrades mid-run in the reference's own dump):
+        # still O(1) — a wrong table or index shift leaves this band fast.
+        for t in STEPS:
+            assert 0.5 <= stds[t] <= 2.5, (t, stds[t])
+
+    def test_wrong_schedule_fails_the_band(self):
+        """Negative control: a linear-β schedule on the same dumps does NOT
+        recover unit-scale noise — the check can actually fail."""
+        pairs = load_pairs()
+        betas = np.concatenate([[0.0], np.linspace(1e-4, 0.02, 1000)])
+        ac = np.cumprod(1.0 - betas)
+        stds = recovered_z_std(pairs, np.sqrt(ac), np.sqrt(1.0 - ac), STEPS)
+        in_dist = [stds[t] for t in range(50, 650, 50)]
+        assert np.median(in_dist) > 1.5, in_dist
+
+    def test_index_shift_fails_the_band(self):
+        """Negative control: a ±50 shift in the [T+1] table indexing leaves
+        the tight in-distribution band (guards the off-by-one family)."""
+        pairs = load_pairs()
+        sac, som = our_tables()
+        for shift in (-50, 50):
+            stds = [
+                float(
+                    (
+                        (pairs[t][1] - sac[t + shift] * pairs[t][0])
+                        / som[t + shift]
+                    ).std()
+                )
+                for t in range(100, 650, 50)
+            ]
+            assert max(stds) > 1.05 or min(stds) < 0.70, (shift, stds)
+
+    def test_xt_variance_tracks_schedule_mixture(self):
+        """Var(xₜ) ≈ ᾱₜ·Var(x̂₀) + (1−ᾱₜ): the reverse-process state's
+        energy follows the forward marginal mixture under OUR ᾱ table
+        (loose band — the guided SMC run need not match the unconditional
+        forward marginal exactly)."""
+        pairs = load_pairs()
+        sac, som = our_tables()
+        for t in STEPS:
+            x0, xt = pairs[t]
+            predicted = (sac[t] ** 2) * x0.var() + som[t] ** 2
+            ratio = xt.var() / predicted
+            assert 0.4 <= ratio <= 2.5, (t, ratio)
+
+
+class TestDumpedStructureEnvelopes:
+    def test_x0_bond_lengths_protein_like_in_distribution(self):
+        """The trained model's x̂₀ has CA–CA ≈ 3.8 Å through the
+        in-distribution span — our own samplers' dumps are held to the
+        same envelope (tools/eval_designs.py)."""
+        pairs = load_pairs()
+        for t in range(50, 650, 50):
+            bond = np.linalg.norm(np.diff(pairs[t][0], axis=0), axis=1).mean()
+            assert 3.6 <= bond <= 4.0, (t, bond)
+
+    def test_x0_radius_of_gyration_envelope(self):
+        """x̂₀ Rg for a 75-residue design stays in a compact-fold envelope
+        in distribution (measured 11.6–17.9 Å across the run's segments)."""
+        pairs = load_pairs()
+        for t in range(50, 650, 50):
+            x0 = pairs[t][0]
+            rg = float(np.sqrt(((x0 - x0.mean(0)) ** 2).sum(1).mean()))
+            assert 8.0 <= rg <= 22.0, (t, rg)
+
+    def test_coordinates_are_centered(self):
+        """Both dump streams are mean-centered (the reference pipeline's
+        centering convention, which our features/samplers mirror)."""
+        pairs = load_pairs()
+        for t in STEPS:
+            x0, xt = pairs[t]
+            assert np.abs(x0.mean(0)).max() < 1e-2
+            assert np.abs(xt.mean(0)).max() < 1e-2
