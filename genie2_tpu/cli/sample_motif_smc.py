@@ -46,6 +46,15 @@ def run(args):
     )
     import numpy as np
 
+    stream_tds_trace(
+        sampler.trace,
+        args.outdir,
+        n_timestep=config.diffusion["n_timestep"],
+        wandb_project=getattr(args, "wandb_project", None),
+        run_name=f"motif_{args.motif_index}",
+        tensorboard=getattr(args, "tensorboard", False),
+        config=vars(args),
+    )
     ess = sampler.trace.ess
     print(
         f"motif {args.motif_index}: placement={sampler.final_placement} "
@@ -53,6 +62,54 @@ def run(args):
         f"resamples={int(sampler.trace.resampled.sum())}",
         flush=True,
     )
+
+
+def stream_tds_trace(
+    trace,
+    outdir: str,
+    n_timestep: int,
+    wandb_project=None,
+    run_name=None,
+    tensorboard: bool = False,
+    config=None,
+):
+    """Stream a TDSTrace into LoggerSet sinks, one record per reverse step.
+
+    Observability parity with the reference's sampler-side wandb runs
+    (unconditional_smc.py:327,558 logs ESS/motif-distance per step from
+    inside its Python loop): our loop is one jitted scan, so the whole
+    trace materializes at once and is streamed post-hoc — the same
+    artifact, ~zero sampling-loop overhead. JSONL is always written to
+    {outdir}/logs/metrics.jsonl; wandb/TensorBoard attach opportunistically
+    behind flags, exactly like the Trainer."""
+    import numpy as np
+
+    from genie2_tpu.utils.loggers import LoggerSet
+
+    loggers = LoggerSet(
+        f"{outdir}/logs",
+        wandb_project=wandb_project,
+        run_name=run_name,
+        tensorboard=tensorboard,
+        config=config,
+    )
+    ess = np.asarray(trace.ess)
+    resampled = np.asarray(trace.resampled)
+    motif_dist = np.asarray(trace.motif_dist)
+    placement = np.asarray(trace.best_placement)
+    for i in range(len(ess)):
+        loggers.log(
+            i,
+            {
+                "t": n_timestep - i,  # reverse loop runs t = T .. 1
+                "ess": ess[i],
+                "resampled": resampled[i],
+                "motif_dist": motif_dist[i],
+                "best_placement": placement[i],
+            },
+            prefix="tds",
+        )
+    loggers.finish()
 
 
 def main():
@@ -104,6 +161,14 @@ def main():
                         help="Total devices for the mesh (-1 = all, 1 = no "
                              "sharding); particles shard over the data axis "
                              "(data size = num_devices / mesh_seq)")
+    parser.add_argument("--wandb_project", type=str, default=None,
+                        help="Stream the per-step TDS trace (ESS, motif "
+                             "distance, placement) to this wandb project, "
+                             "like the reference's sampler-side wandb runs; "
+                             "JSONL is always written to {outdir}/logs")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="Also write the TDS trace to TensorBoard under "
+                             "{outdir}/logs/tb")
     run(parser.parse_args())
 
 

@@ -24,34 +24,40 @@ from genie2_tpu.features.schema import Features, create_empty_features
 
 
 def parse_pdb(filepath: str) -> Tuple[List[List[int]], List[List[List[float]]]]:
-    """Extract per-chain sequences (residue-type indices) and CA coordinates
-    (feat_utils.py:377-415)."""
+    """Per-chain residue-type indices and CA coordinates from a fixed-column
+    PDB. Pure-python fallback for the C++ parser (csrc/pdb_parser.cpp) and
+    behavioral counterpart of feat_utils.py:377-415: CA-only ATOM records;
+    a new chain starts wherever the chain-ID letter (column 22) changes,
+    so a re-appearing ID after an interleaved chain opens a fresh chain.
 
-    def _handle(file):
-        seqs, coords = [], []
-        current_chain = None
-        for line in file:
-            if line.startswith("ATOM") and line[13:15].strip() == "CA":
-                restype_3 = line[17:20]
-                restype_1 = RESTYPE_3_TO_1[restype_3]
-                order = RESTYPE_ORDER[restype_1]
-                chain = line[21]
-                x = float(line[30:38])
-                y = float(line[38:46])
-                z = float(line[46:54])
-                if current_chain is None or chain != current_chain:
-                    seqs.append([])
-                    coords.append([])
-                    current_chain = chain
-                seqs[-1].append(order)
-                coords[-1].append([x, y, z])
-        return seqs, coords
+    Filter-then-vectorize: column slicing and float conversion run as one
+    numpy pass over the record block instead of per-line appends."""
+    opener = gzip.open if filepath.endswith(".gz") else open
+    with opener(filepath, "rt") as fh:
+        records = [
+            ln
+            for ln in fh
+            if ln.startswith("ATOM") and ln[13:15].strip() == "CA"
+        ]
+    if not records:
+        return [], []
 
-    if filepath.endswith(".gz"):
-        with gzip.open(filepath, "rt") as file:
-            return _handle(file)
-    with open(filepath, "r") as file:
-        return _handle(file)
+    types = np.fromiter(
+        (RESTYPE_ORDER[RESTYPE_3_TO_1[ln[17:20]]] for ln in records),
+        dtype=np.int64,
+        count=len(records),
+    )
+    xyz = np.array(
+        [(ln[30:38], ln[38:46], ln[46:54]) for ln in records], dtype=np.float64
+    )
+    chain_ids = np.array([ln[21] for ln in records])
+    starts = np.flatnonzero(
+        np.concatenate([[True], chain_ids[1:] != chain_ids[:-1]])
+    ).tolist()
+    bounds = starts + [len(records)]
+    seqs = [types[a:b].tolist() for a, b in zip(bounds, bounds[1:])]
+    coords = [xyz[a:b].tolist() for a, b in zip(bounds, bounds[1:])]
+    return seqs, coords
 
 
 def summarize_pdb(filepath: str):

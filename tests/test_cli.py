@@ -269,3 +269,39 @@ def test_sample_scaffold_cli_missing_dir(release_dir, tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(FileNotFoundError):
         run_tasks(args)
+
+
+def test_sample_motif_smc_cli_streams_trace(release_dir, tmp_path, capsys):
+    """The SMC CLI streams the per-step TDS trace (ESS, motif distance,
+    placement) through LoggerSet — observability parity with the
+    reference's sampler-side wandb runs (unconditional_smc.py:327,558),
+    JSONL always, wandb/TB behind flags."""
+    import json
+
+    from genie2_tpu.cli.sample_motif_smc import run
+    from tests.test_smc import MOTIF_TARGET_PDB
+
+    motif_dir = tmp_path / "motifs"
+    motif_dir.mkdir()
+    (motif_dir / "0_test.pdb").write_text(MOTIF_TARGET_PDB)
+    args = argparse.Namespace(
+        name="vcli", epoch=1, rootdir=release_dir, scale=1.0,
+        outdir=str(tmp_path / "out"), motif_index=0,
+        motif_dir=str(motif_dir), num_particles=4, max_offsets=16,
+        offset=0, seed=0, ema=False, twist_rotations=False,
+        proposal="posterior", rot_tausq=0.1, dump_trajectory_every=0,
+        mesh_seq=1, mesh_model=1, num_devices=1,
+        wandb_project=None, tensorboard=False,
+    )
+    run(args)
+    assert "ess(min/mean)" in capsys.readouterr().out
+    log_path = tmp_path / "out" / "logs" / "metrics.jsonl"
+    records = [json.loads(l) for l in log_path.read_text().splitlines()]
+    # One record per reverse step (numTimesteps 8 in the fixture config),
+    # t descending T..1, all trace channels present and finite.
+    assert len(records) == 8
+    assert [r["t"] for r in records] == list(range(8, 0, -1))
+    for r in records:
+        assert r["prefix"] == "tds"
+        assert np.isfinite([r["ess"], r["motif_dist"], r["best_placement"]]).all()
+        assert 1.0 - 1e-5 <= r["ess"] <= 4.0 + 1e-5

@@ -107,6 +107,17 @@ def test_full_config_parity_and_sign_sensitivity():
     from genie.utils.affine_utils import rot_to_quat as torch_eigh
     from genie.utils.geo_utils import compute_frenet_frames as torch_frames
 
+    # Sample the host-load signal BEFORE the heavy compute: the fp32
+    # accumulation-order jitter is load-dependent (measured 8.7e-5
+    # single-device standalone, 1.3e-4 on the 8-virtual-device test env,
+    # 3.3e-4 only under concurrent external CPU load on the 1-core CI
+    # host). The tolerance is conditional so an unloaded run is held to
+    # the tight bound instead of permanently inheriting the loaded one.
+    import os
+
+    load_per_core = os.getloadavg()[0] / (os.cpu_count() or 1)
+    loaded_host = load_per_core > 1.5
+
     torch.manual_seed(0)
     model = TorchDenoiser(**FULL).eval()
     # Trained weights are nowhere zero; randomize the 'final'-zero-init
@@ -162,14 +173,17 @@ def test_full_config_parity_and_sign_sensitivity():
     np.testing.assert_allclose(
         np.asarray(out_j["s"]), out_canon["s"].numpy(), atol=1e-5
     )
-    # Measured 8.7e-5 single-device / 1.3e-4 under the 8-virtual-device test
-    # env / 3.3e-4 on the same env under concurrent CPU load (fp32
-    # accumulation-order jitter varies with XLA CPU thread scheduling on
-    # the 1-core host) — every observation is >=80x tighter than the
-    # reference's own 3.9e-2 sign-reproducibility floor asserted above,
-    # which is what a real numerics bug would show up against.
+    # Load-conditional bound (see the measurement sampled at test start):
+    # 2e-4 on an unloaded host, 5e-4 only under detected concurrent load.
+    # Every observation is >=80x tighter than the reference's own 3.9e-2
+    # sign-reproducibility floor asserted above, which is what a real
+    # numerics bug would show up against.
+    tol = 5e-4 if loaded_host else 2e-4
     z_err = float(np.abs(np.asarray(out_j["z"]) - out_canon["z"].numpy()).max())
-    assert z_err < 5e-4, z_err
+    assert z_err < tol, (
+        f"z_err={z_err:.3g} vs tol={tol:.0e} "
+        f"(load/core={load_per_core:.2f}, loaded_host={loaded_host})"
+    )
     # And vs the raw-eigh reference the gap equals the reference's own
     # sign sensitivity (same order), confirming sign is the entire delta.
     z_err_raw = float(np.abs(np.asarray(out_j["z"]) - out_raw["z"].numpy()).max())
