@@ -38,6 +38,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# BENCH_PLATFORM=cpu forces the CPU backend for harness validation runs
+# (plain JAX_PLATFORMS is ignored here: sitecustomize pre-selects the
+# tunneled TPU plugin, so only jax.config before backend init wins).
+if os.environ.get("BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 # NOTE: the persistent compilation cache hangs under this environment's
 # remote-compile TPU tunnel; enable only where known-good.
 if os.environ.get("JAX_CACHE", "0") == "1":
@@ -232,6 +238,73 @@ def main():
             f"ddim{k}_step_ms": round(d_s / k * 1e3, 2),
         }
 
+    # Long-context scaling extra: per-step denoiser cost at N=512/1024 in
+    # one artifact (the scaling story used to live across scattered notes).
+    # 50 DDIM steps per length bound the cost (~2 compiles + seconds of
+    # compute); any failure (e.g. HBM pressure on a degraded backend) is
+    # recorded, never fatal. BENCH_NSCALE=0 disables.
+    nscale_extra = {}
+    if os.environ.get("BENCH_NSCALE", "1") == "1" and not degraded:
+        from genie2_tpu.sampling import ddim_sample
+
+        for n_len in [
+            int(x) for x in os.environ.get("BENCH_NSCALE_LENGTHS", "512,1024").split(",") if x
+        ]:
+            try:
+                cfg_n = Config(
+                    overrides={"maximumNumResidues": n_len, "numTimesteps": n_steps}
+                )
+                model_n = Denoiser.from_config(cfg_n)
+                feats_n = to_device(batchify([create_empty_features([n_len])]))
+
+                @jax.jit
+                def init_n(key):
+                    tr0 = jnp.zeros((1, n_len, 3), jnp.float32)
+                    r0 = frenet_frames(
+                        tr0, feats_n["chain_index"], feats_n["residue_mask"]
+                    )
+                    return model_n.init(
+                        key, Rigid(r0, tr0), jnp.full((1,), n_steps, jnp.int32), feats_n
+                    )
+
+                params_n = init_n(jax.random.PRNGKey(11))
+                apply_n = make_apply_fn(model_n, dtype)
+                pfn_n = PairFeatureNet(
+                    c_s=model_n.c_s, c_p=model_n.c_p,
+                    n_timestep=model_n.n_timestep, relpos_k=model_n.relpos_k,
+                    template_dist_min=model_n.template_dist_min,
+                    template_dist_step=model_n.template_dist_step,
+                    template_dist_n_bin=model_n.template_dist_n_bin,
+                    quat_method=model_n.quat_method,
+                )
+
+                @jax.jit
+                def bias_n(p, f):
+                    sub = {"params": p["params"]["pair_feature_net"]}
+                    return pfn_n.apply(
+                        sub, f, method=PairFeatureNet.static_bias
+                    ).astype(bias_dtype)
+
+                feats_n["static_pair_bias"] = bias_n(params_n, feats_n)
+
+                def run_n(seed):
+                    out = ddim_sample(
+                        apply_n, params_n, schedule, feats_n,
+                        jax.random.PRNGKey(seed), 50, n_steps,
+                    )
+                    return float(jnp.sum(out))
+
+                run_n(12)  # compile + on-chip load
+                t_n = time.perf_counter()
+                run_n(13)
+                nscale_extra[f"step_ms_L{n_len}"] = round(
+                    (time.perf_counter() - t_n) / 50 * 1e3, 2
+                )
+            except Exception as exc:  # noqa: BLE001 — extras never kill the record
+                nscale_extra[f"step_ms_L{n_len}"] = f"failed: {type(exc).__name__}"
+    if nscale_extra:
+        nscale_extra[f"step_ms_L{length}"] = round(step_ms, 2)
+
     result = {
         "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",
         "value": round(samples_per_min, 3),
@@ -251,6 +324,7 @@ def main():
             "compute_dtype": dtype,
             "device": str(jax.devices()[0]),
             **ddim_extra,
+            **({"n_scaling": nscale_extra} if nscale_extra else {}),
         },
     }
     if degraded:

@@ -5,6 +5,7 @@ from genie2_tpu.sampling.ddpm import (
     ancestral_sample_with_trajectory,
     ddim_sample,
     ddim_schedule,
+    eta_schedule_below,
     reverse_step,
 )
 from genie2_tpu.sampling.unconditional import (
@@ -38,6 +39,7 @@ __all__ = [
     "ancestral_sample",
     "ancestral_sample_with_trajectory",
     "ddim_sample",
+    "eta_schedule_below",
     "ddim_schedule",
     "dpm_solver_sample",
     "reverse_step",

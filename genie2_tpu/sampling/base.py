@@ -22,6 +22,7 @@ from genie2_tpu.sampling.ddpm import (
     ancestral_sample,
     ancestral_sample_with_trajectory,
     ddim_sample,
+    eta_schedule_below,
 )
 from genie2_tpu.sampling.dpm_solver import dpm_solver_sample
 
@@ -311,6 +312,18 @@ class BaseSampler(ABC):
         elif ddim_steps:
             # Accelerated DDIM path (no reference counterpart): a K-step
             # subsequence of the T-step schedule, eta in [0, 1].
+            # ddim_eta_switch_t > 0 selects a hybrid stochasticity
+            # schedule: deterministic ODE (eta=0) while t > switch_t,
+            # eta (default 1) at or below — re-injecting ancestral-like
+            # noise only on the final steps (the structure-sharpening
+            # regime; tools/sampler_quality.py round-4 study).
+            eta = float(params.get("ddim_eta", 0.0))
+            switch_t = int(params.get("ddim_eta_switch_t") or 0)
+            if switch_t:
+                eta = eta_schedule_below(
+                    self.schedule.n_timestep, ddim_steps, switch_t,
+                    eta_low=eta or 1.0, spacing=spacing,
+                )
             trans = ddim_sample(
                 apply_fn,
                 self.params,
@@ -319,7 +332,7 @@ class BaseSampler(ABC):
                 key,
                 ddim_steps,
                 self.schedule.n_timestep,
-                eta=float(params.get("ddim_eta", 0.0)),
+                eta=eta,
                 scale=float(params["scale"]),
                 spacing=spacing,
                 sample_ids=ids,

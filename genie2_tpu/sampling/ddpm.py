@@ -235,7 +235,8 @@ def _ddim_segment(
     n_res = trans.shape[1]
     batch = trans.shape[0]
 
-    def body(trans, pair):
+    def body(trans, inputs):
+        pair, eta_t = inputs
         t, t_prev = pair[0], pair[1]
         t_vec = jnp.full((batch,), t, dtype=jnp.int32)
         tp_vec = jnp.full((batch,), t_prev, dtype=jnp.int32)
@@ -246,11 +247,12 @@ def _ddim_segment(
         # (no injected noise) it is a no-op by construction.
         noise = step_noise(key, sample_ids, t, n_res) * scale
         next_trans = (
-            ddim_step_from_eps(schedule, trans, t_vec, tp_vec, eps, noise, eta) * mask
+            ddim_step_from_eps(schedule, trans, t_vec, tp_vec, eps, noise, eta_t)
+            * mask
         )
         return next_trans, None
 
-    return jax.lax.scan(body, trans, step_pairs)[0]
+    return jax.lax.scan(body, trans, (step_pairs, eta))[0]
 
 
 def ddim_sample(
@@ -272,18 +274,45 @@ def ddim_sample(
     `scale` is the ancestral loop's gamma noise-temperature knob applied to
     the eta-controlled injected noise (irrelevant at eta=0). Same
     per-(sample, step) RNG discipline as ancestral_sample — results are
-    independent of batch composition, segmentation and mesh."""
+    independent of batch composition, segmentation and mesh.
+
+    `eta` is a scalar or a per-model-call array [n_steps] aligned with the
+    descending step subsequence — hybrid stochasticity schedules (e.g.
+    deterministic ODE early, ancestral-like noise on the final steps) are
+    `eta_schedule_below(...)` or any custom array."""
     if sample_ids is None:
         sample_ids = default_sample_ids(features)
     trans = init_translations(features, key, sample_ids)
     pairs = ddim_schedule(n_timestep, n_steps, spacing)
+    etas = jnp.broadcast_to(
+        jnp.asarray(eta, jnp.float32).reshape(-1), (len(pairs),)
+    )
     k = steps_per_dispatch or len(pairs)
     for i in range(0, len(pairs), k):
         trans = _ddim_segment(
             apply_fn, params, schedule, features, trans, key, sample_ids,
-            jnp.asarray(pairs[i : i + k]), jnp.float32(eta), jnp.float32(scale),
+            jnp.asarray(pairs[i : i + k]), etas[i : i + k], jnp.float32(scale),
         )
     return trans
+
+
+def eta_schedule_below(
+    n_timestep: int,
+    n_steps: int,
+    switch_t: int,
+    eta_low: float = 1.0,
+    eta_high: float = 0.0,
+    spacing: str = "uniform",
+) -> jnp.ndarray:
+    """Per-step eta array for ddim_sample: eta_high while t > switch_t,
+    eta_low for t <= switch_t. The default (0 -> 1) runs the deterministic
+    ODE through the high-noise regime and re-injects ancestral-like
+    stochasticity on the final steps — the 'stochastic steps sharpen local
+    structure' hypothesis from the solver-quality study, made testable."""
+    ts = ddim_schedule(n_timestep, n_steps, spacing)[:, 0]
+    return jnp.where(jnp.asarray(ts) <= switch_t, eta_low, eta_high).astype(
+        jnp.float32
+    )
 
 
 @partial(jax.jit, static_argnames=("apply_fn",))

@@ -305,3 +305,29 @@ def test_sample_motif_smc_cli_streams_trace(release_dir, tmp_path, capsys):
         assert r["prefix"] == "tds"
         assert np.isfinite([r["ess"], r["motif_dist"], r["best_placement"]]).all()
         assert 1.0 - 1e-5 <= r["ess"] <= 4.0 + 1e-5
+
+
+def test_sample_unconditional_cli_hybrid_eta(release_dir, tmp_path):
+    """--ddim_eta_switch_t: hybrid stochasticity (deterministic ODE above
+    the switch, ancestral-like noise at/below) — deterministic given the
+    seed, different from both pure eta=0 and the unswitch run."""
+    from genie2_tpu.cli.sample_unconditional import run_tasks
+
+    def sample(subdir, **kw):
+        args = argparse.Namespace(
+            name="vcli", epoch=1, rootdir=release_dir, scale=1.0,
+            outdir=str(tmp_path / subdir), num_samples=1, batch_size=1,
+            min_length=16, max_length=16, length_step=2, seed=0,
+            num_devices=1, sequential_order=True, pack=False,
+            ddim_steps=4, **kw,
+        )
+        run_tasks(args)
+        return (tmp_path / subdir / "pdbs" / "16_0.pdb").read_text()
+
+    # Fixture model has numTimesteps 8; switch at t=4 makes 2 of the 4
+    # DDIM steps stochastic.
+    hybrid_a = sample("hyb_a", ddim_eta=0.0, ddim_eta_switch_t=4)
+    hybrid_b = sample("hyb_b", ddim_eta=0.0, ddim_eta_switch_t=4)
+    pure0 = sample("pure0", ddim_eta=0.0, ddim_eta_switch_t=0)
+    assert hybrid_a == hybrid_b  # deterministic given the seed
+    assert hybrid_a != pure0     # the switch actually injects noise

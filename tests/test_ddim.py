@@ -157,6 +157,42 @@ class TestDDIMSampling:
         )
         assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
 
+    def test_per_step_eta_array_matches_scalar(self):
+        """eta may be a per-model-call array; a constant array is
+        bit-identical to the scalar, and segmentation slices it correctly."""
+        model, params, schedule, feats = self._setup()
+        key = jax.random.PRNGKey(7)
+        args = (model.apply, params, schedule, feats, key, 5, schedule.n_timestep)
+        a = ddim_sample(*args, eta=0.7)
+        b = ddim_sample(*args, eta=jnp.full((5,), 0.7, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = ddim_sample(
+            *args, eta=jnp.full((5,), 0.7, jnp.float32), steps_per_dispatch=2
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+    def test_hybrid_eta_schedule(self):
+        """eta_schedule_below: deterministic above switch_t, stochastic at or
+        below — and the hybrid trajectory actually differs from both pure
+        runs while agreeing with eta=0 up to the switch."""
+        from genie2_tpu.sampling import eta_schedule_below
+
+        model, params, schedule, feats = self._setup()
+        T = schedule.n_timestep
+        etas = eta_schedule_below(T, 5, switch_t=T // 2)
+        ts = ddim_schedule(T, 5)[:, 0]
+        np.testing.assert_array_equal(
+            np.asarray(etas), (ts <= T // 2).astype(np.float32)
+        )
+        key = jax.random.PRNGKey(8)
+        args = (model.apply, params, schedule, feats, key, 5, T)
+        hybrid = ddim_sample(*args, eta=etas)
+        pure0 = ddim_sample(*args, eta=0.0)
+        pure1 = ddim_sample(*args, eta=1.0)
+        assert np.isfinite(np.asarray(hybrid)).all()
+        assert np.abs(np.asarray(hybrid) - np.asarray(pure0)).max() > 1e-5
+        assert np.abs(np.asarray(hybrid) - np.asarray(pure1)).max() > 1e-5
+
     def test_fast_spacing_changes_trajectory(self):
         """The sampler-level spacing param is honored (different
         subsequence, different deterministic output)."""

@@ -85,8 +85,8 @@ class TestSeqShardedForward:
     @pytest.mark.slow
     @pytest.mark.parametrize(
         "n_res,batch",
-        [(256, 2), (512, 2), (1024, 1)],
-        ids=["N256", "N512", "N1024"],
+        [(256, 2), (512, 2), (1024, 1), (2048, 1)],
+        ids=["N256", "N512", "N1024", "N2048"],
     )
     def test_forward_matches_unsharded(self, n_res, batch):
         """Long-context done-criterion (round-2 VERDICT #7 -> round-3 #7):
@@ -105,10 +105,16 @@ class TestSeqShardedForward:
         # and the N=1024 chunked scans are minutes-per-layer on one core
         # (conftest raises XLA's CPU collective rendezvous timeout for the
         # same reason).
+        # N=2048 (8x the reference's cap): tri-mul + transition only. The
+        # chunked tri-att's seq-sharded equivalence is already proven at
+        # N=1024 above and its numerics at any N in test_tri_att_chunk;
+        # at 2048 its 32-iteration chunk scan over 8 starved virtual
+        # devices is rendezvous-timeout territory on the 1-core CI host,
+        # and it adds no new sharding claim.
         config = seq_config(
             n_res,
             mesh_seq=8 if batch == 1 else 4,
-            tri_att=True,
+            tri_att=n_res <= 1024,
             tri_att_chunk=64 if n_res > 512 else 0,
             n_layers=1 if n_res > 512 else 2,
         )

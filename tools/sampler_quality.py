@@ -206,6 +206,39 @@ def main():
                 ),
                 mask,
             )
+        # Round-4 helix-deficit study (VERDICT #4): sweep eta toward 1
+        # (SQ_ETA_SWEEP="0.25,0.5,0.75,1.0") and hybrid stochasticity
+        # schedules (SQ_HYBRID="30,60" — switch_t values; deterministic ODE
+        # for t > switch, ancestral-like eta=1 at or below; 'r' prefix for
+        # the reverse, e.g. "r30" = stochastic early / deterministic late).
+        # Hypothesis under test: the K-step solvers' flat ~30% helix loss
+        # comes from losing the stochastic steps' structure-sharpening.
+        for eta in [
+            float(e) for e in os.environ.get("SQ_ETA_SWEEP", "").split(",") if e
+        ]:
+            results[f"ddim{k}_eta{eta:g}"] = stats(
+                ddim_sample(
+                    model.apply, params, schedule, feats, key, k, N_TIMESTEP,
+                    eta=eta, scale=1.0,
+                ),
+                mask,
+            )
+        for spec in [s for s in os.environ.get("SQ_HYBRID", "").split(",") if s]:
+            from genie2_tpu.sampling import eta_schedule_below
+
+            rev = spec.startswith("r")
+            switch = int(spec[1:] if rev else spec)
+            etas = eta_schedule_below(
+                N_TIMESTEP, k, switch,
+                eta_low=0.0 if rev else 1.0, eta_high=1.0 if rev else 0.0,
+            )
+            results[f"ddim{k}_hyb{spec}"] = stats(
+                ddim_sample(
+                    model.apply, params, schedule, feats, key, k, N_TIMESTEP,
+                    eta=etas, scale=1.0,
+                ),
+                mask,
+            )
         results[f"dpm{k}"] = stats(
             dpm_solver_sample(
                 model.apply, params, schedule, feats, key, k, N_TIMESTEP
