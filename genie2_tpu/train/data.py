@@ -119,10 +119,18 @@ def apply_motif_augmentation(
     assert int(features["num_chains"]) == 1, "Input must be monomer"
     n_res = int(features["num_residues"])
 
-    motif_n_res = int(
-        rng.integers(int(np.floor(n_res * min_pct_res)), int(np.ceil(n_res * max_pct_res)))
-    )
-    motif_n_seg = int(rng.integers(min_n_seg, min(max_n_seg, motif_n_res) + 1))
+    lo = int(np.floor(n_res * min_pct_res))
+    hi = int(np.ceil(n_res * max_pct_res))
+    # Clamps only bind for very short chains (e.g. n_res=16 at 5-50%
+    # gives lo=0, where the reference's formula draws motif_n_res=0 and
+    # crashes its own segmentation; dataset.py:208-214 never sees such
+    # chains because the reference corpus filters them out). At least 1
+    # motif residue and a non-empty integer range keep tiny-structure
+    # corpora (tests, drills) trainable; normal sizes are unaffected.
+    motif_n_res = max(1, int(rng.integers(lo, max(hi, lo + 1))))
+    seg_hi = max(min(max_n_seg, motif_n_res) + 1, min_n_seg + 1)
+    motif_n_seg = int(rng.integers(min_n_seg, seg_hi))
+    motif_n_seg = min(motif_n_seg, motif_n_res)
 
     indices = np.sort(rng.choice(motif_n_res - 1, motif_n_seg - 1, replace=False) + 1)
     indices = np.concatenate([[0], indices, [motif_n_res]])

@@ -160,3 +160,20 @@ class TestDumpedStructureEnvelopes:
             x0, xt = pairs[t]
             assert np.abs(x0.mean(0)).max() < 1e-2
             assert np.abs(xt.mean(0)).max() < 1e-2
+
+
+def test_compare_trajectories_tool_on_fixtures():
+    """tools/compare_trajectories.py (the campaign's matched-steps
+    comparison driver) reproduces the band on the reference fixtures."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import compare_trajectories as ct
+
+    rows = ct.analyze(FIXTURE_DIR, 1000)
+    assert len(rows) == 19
+    by_t = {r["t"]: r for r in rows}
+    assert 0.70 <= by_t[300]["z_std"] <= 1.05
+    assert 3.6 <= by_t[300]["x0_bond"] <= 4.0
+    z_meds = np.median([r["z_std"] for r in rows])
+    assert 0.5 <= z_meds <= 1.5

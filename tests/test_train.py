@@ -105,6 +105,22 @@ class TestMotifAugmentation:
             n_seg = int(np.sum(np.diff(np.concatenate([[0], m.view(np.int8), [0]])) == 1))
             assert 1 <= n_seg <= 4
 
+    def test_short_chains_never_crash(self):
+        """Tiny structures (flagship-campaign fixtures, drill corpora):
+        the reference's formula draws motif_n_res=0 at e.g. n_res=16 @
+        5-50% and crashes its own segmentation; our clamps keep every
+        short chain trainable with valid masks."""
+        rng = np.random.default_rng(0)
+        for n_res in range(2, 24):
+            f = create_empty_features([n_res])
+            for _ in range(30):
+                out = apply_motif_augmentation(f, rng, 0.05, 0.5, 1, 4)
+                m = out["fixed_sequence_mask"]
+                assert m.shape == (n_res,) and 1 <= m.sum() <= n_res
+                np.testing.assert_array_equal(
+                    out["fixed_structure_mask"], m[:, None] * m[None, :]
+                )
+
 
 class TestDataset:
     def test_synthetic_epoch(self):

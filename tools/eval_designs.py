@@ -100,6 +100,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("outdir", help="Directory scanned recursively for *.pdb")
     parser.add_argument("--csv", default=None, help="Also write a CSV report")
+    parser.add_argument("--json", default=None,
+                        help="Also write the aggregate metrics as JSON")
     args = parser.parse_args()
 
     rows = evaluate_dir(args.outdir)
@@ -117,6 +119,13 @@ def main():
         + " ".join(f"{k}={v:.3f}" for k, v in agg.items()),
         flush=True,
     )
+
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump({"n_designs": len(rows), **agg}, f, indent=1)
+        print(f"wrote {args.json}", flush=True)
 
     if args.csv:
         import csv
