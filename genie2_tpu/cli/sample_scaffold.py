@@ -56,6 +56,7 @@ def run_tasks(args):
                     "seed": args.seed,
                     "ddim_steps": getattr(args, "ddim_steps", 0),
                     "ddim_eta": getattr(args, "ddim_eta", 0.0),
+                    "ddim_eta_switch_t": getattr(args, "ddim_eta_switch_t", 0),
                     "dpm_steps": getattr(args, "dpm_steps", 0),
                     "dump_trajectory_every": getattr(args, "dump_trajectory_every", 0),
                     "fast_spacing": getattr(args, "fast_spacing", "uniform"),
@@ -82,6 +83,10 @@ def main():
     parser.add_argument("--ddim_steps", type=int, default=0,
                         help="Accelerated DDIM sampling with this many steps "
                              "(0 = full ancestral DDPM; no reference counterpart)")
+    parser.add_argument("--ddim_eta_switch_t", type=int, default=0,
+                        help="Hybrid DDIM stochasticity: deterministic "
+                             "(eta=0) while t > this, --ddim_eta (default "
+                             "1) at or below (0 = off)")
     parser.add_argument("--ddim_eta", type=float, default=0.0,
                         help="DDIM stochasticity (0 = deterministic ODE)")
     parser.add_argument("--dpm_steps", type=int, default=0,
