@@ -210,7 +210,9 @@ xyz = np.asarray(f["atom_positions"][:8], float)
 xyz -= xyz.mean(0)
 os.makedirs(f"{d}/motifs", exist_ok=True)
 n_total = int(os.environ.get("CAMPAIGN_TINY") == "1" and 24 or 96)
-lines = ["REMARK motif from corpus structure 0", f"REMARK length : {n_total}"]
+# The MotifBench grammar puts 'NAME : LENGTH' on line 3 (motif_target.py).
+lines = ["REMARK motif from corpus structure 0", "REMARK",
+         f"REMARK motif : {n_total}"]
 for i, (x, y, z) in enumerate(xyz, start=1):
     lines.append(f"ATOM  {i:5d}  CA  ALA A{i:4d}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C")
 lines.append("TER")
