@@ -316,6 +316,13 @@ class TestMidEpochResume:
         state_sync = t_sync.fit(ds)
         t_async = Trainer(make_config(str(tmp_path / "a"), True), use_mesh=False)
         assert t_async._saver is not None
+        # Reuse t_sync's compiled step (identical config -> identical step
+        # semantics). Orbax runs its async write machinery even for sync
+        # saves, so t_sync.fit's checkpoints already count as "async saves
+        # happened" for gotcha #0 — a fresh XLA CPU compile here segfaulted
+        # a round-4 full-suite run at exactly this line (the round-3
+        # workaround only covered the two follow-up trainers below).
+        t_async._step_fn = t_sync._step_fn
         state_async = t_async.fit(ds)
 
         for x, y in zip(
