@@ -39,7 +39,30 @@ jax.config.update("jax_num_cpu_devices", 8)
 # CPU compiles dominate suite runtime (the full train-step graph takes ~90s
 # to build); persist them. (The persistent cache is only unsafe under the
 # TPU remote-compile tunnel, which tests never use.)
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_test_cache")
+#
+# The cache dir is keyed by a HOST CPU fingerprint: XLA:CPU executables are
+# AOT-compiled for the build machine's exact feature set, and jax's cache
+# key does not fully capture it — loading an entry written on a different
+# host generation logs "Target machine feature ... not supported on the
+# host machine ... could lead to execution errors such as SIGILL"
+# (cpu_aot_loader) and sporadically SEGFAULTS during deserialization
+# (observed killing a round-4 full-suite run inside
+# compilation_cache.get_executable_and_time). Fingerprinting makes foreign
+# entries invisible instead of fatal; each machine type warms its own.
+import hashlib
+import platform
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu_id = next(
+            (l for l in _f if l.startswith("flags")), platform.machine()
+        )
+except OSError:
+    _cpu_id = platform.machine() + platform.processor()
+_FP = hashlib.sha1(_cpu_id.encode()).hexdigest()[:12]
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_test_cache", _FP
+)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
