@@ -59,7 +59,7 @@ fi
 
 # 1. Train (exercises the row-chunked tri-att path end-to-end).
 rm -rf "$D"/runs/vfy/version_*
-timeout 560 python -m genie2_tpu.cli.train -c "$D/configuration" 2>&1 \
+timeout ${STAGE_TIMEOUT:-900} python -m genie2_tpu.cli.train -c "$D/configuration" 2>&1 \
   | grep -vi warning | tail -8
 echo "TRAIN_EXIT=$?"
 
@@ -84,7 +84,7 @@ EOF
 
 # 4. SMC CLI with the score-based twisted proposal (the round-3 path).
 rm -rf "$D/out_smc"
-timeout 560 python -m genie2_tpu.cli.sample_motif_smc --name vfy --epoch 1 \
+timeout ${STAGE_TIMEOUT:-900} python -m genie2_tpu.cli.sample_motif_smc --name vfy --epoch 1 \
   --rootdir "$D/results" --outdir "$D/out_smc" --motif_index 0 \
   --motif_dir "$D/motifs" --num_particles 4 --scale 1.0 \
   --proposal score 2>&1 | grep -vi warning | tail -6
@@ -93,7 +93,7 @@ ls "$D/out_smc/" 2>/dev/null
 
 # 5. Unconditional sampler on the same tri-att-chunk model.
 rm -rf "$D/out_unc"
-timeout 560 python -m genie2_tpu.cli.sample_unconditional --name vfy \
+timeout ${STAGE_TIMEOUT:-900} python -m genie2_tpu.cli.sample_unconditional --name vfy \
   --epoch 1 --rootdir "$D/results" --scale 0.6 --outdir "$D/out_unc" \
   --num_samples 2 --batch_size 2 --min_length 20 --max_length 20 \
   --length_step 2 2>&1 | grep -vi warning | tail -4
