@@ -101,7 +101,7 @@ numEpoches 1000
 batchSize 1
 logEverySteps 50
 checkpointEveryEpoches 1
-saveStateEverySteps 500
+saveStateEverySteps 5000
 emaDecay 0.999
 asyncCheckpoint True
 learningRate 1e-4
