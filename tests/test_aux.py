@@ -271,3 +271,80 @@ class TestXstartVariance:
         )
         with pytest.raises(ValueError):
             xstart_variance(abar, var_type=3)
+
+
+class TestCampaignContinuity:
+    """tools/campaign_continuity.py — the flagship campaign's resume
+    verifier (graceful SIGTERM preemption AND hard-kill replay; the
+    reference's epoch-granular Lightning checkpoints keep no step-level
+    resume evidence at all)."""
+
+    @staticmethod
+    def _checker():
+        import importlib.util
+        import os
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        spec = importlib.util.spec_from_file_location(
+            "campaign_continuity",
+            os.path.join(repo, "tools", "campaign_continuity.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.check_continuity
+
+    @staticmethod
+    def _write(tmp_path, rows):
+        import json
+
+        with open(tmp_path / "metrics.jsonl", "w") as f:
+            for step, loss in rows:
+                f.write(
+                    json.dumps(
+                        {"step": step, "prefix": "train",
+                         "weighted_loss": loss}
+                    )
+                    + "\n"
+                )
+        return str(tmp_path)
+
+    def test_graceful_preemption_clean_curve(self, tmp_path):
+        check = self._checker()
+        v = self._write(
+            tmp_path, [(50, 2.0), (100, 1.5), (150, 1.2), (200, 1.0)]
+        )
+        out = check(v, 100)
+        assert out["resumed_through_step"] == 200
+        assert "hard_kill_replayed_steps" not in out
+
+    def test_hard_kill_replay_reproduces_losses(self, tmp_path):
+        check = self._checker()
+        rows = [(50, 2.0), (100, 1.5), (150, 1.2),
+                (100, 1.5), (150, 1.2), (200, 1.0)]
+        out = check(self._write(tmp_path, rows), 150)
+        assert out["hard_kill_replayed_steps"] == 2
+        assert out["replay_max_loss_delta"] == 0.0
+
+    def test_replay_loss_mismatch_fails(self, tmp_path):
+        check = self._checker()
+        rows = [(50, 2.0), (100, 1.5), (150, 1.2),
+                (100, 1.9), (150, 1.2), (200, 1.0)]
+        with pytest.raises(AssertionError, match="reproduce"):
+            check(self._write(tmp_path, rows), 150)
+
+    def test_backjump_to_unseen_step_fails(self, tmp_path):
+        check = self._checker()
+        rows = [(50, 2.0), (150, 1.2), (120, 1.4), (200, 1.0)]
+        with pytest.raises(AssertionError, match="backwards"):
+            check(self._write(tmp_path, rows), 150)
+
+    def test_no_progress_after_preemption_fails(self, tmp_path):
+        check = self._checker()
+        with pytest.raises(AssertionError, match="no steps after"):
+            check(self._write(tmp_path, [(50, 2.0), (100, 1.5)]), 100)
+
+    def test_loss_jump_after_resume_fails(self, tmp_path):
+        check = self._checker()
+        rows = [(50, 0.5), (100, 0.5), (150, 9.0), (200, 9.0)]
+        with pytest.raises(AssertionError, match="optimizer"):
+            check(self._write(tmp_path, rows), 100)

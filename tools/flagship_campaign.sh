@@ -140,45 +140,10 @@ timeout -s TERM --kill-after=300 "$PB" \
   | grep -viE 'warning' | tail -20
 echo "PHASE_B_EXIT=$?"
 
-python - "$V" "$STEP_A" <<'EOF'
-import json, sys
-v, step_a = sys.argv[1], int(sys.argv[2])
-recs = [json.loads(l) for l in open(f"{v}/metrics.jsonl")
-        if '"prefix": "train"' in l]
-steps = [r["step"] for r in recs]
-# Steps strictly increase across a GRACEFUL preemption (resume_state is
-# saved at the exact kill step). A HARD kill (SIGKILL / host death) may
-# legitimately replay up to saveStateEverySteps steps since the last
-# resume point — those replays must (a) land only on previously-seen
-# steps and (b) reproduce the original loss exactly (step-keyed RNG +
-# restored data order => the replayed curve is deterministic).
-resumed = [s for s in steps if s > step_a]
-assert resumed, f"no steps after the preemption point {step_a}"
-first_loss, seen, replay_delta, hwm = {}, set(), [], None
-for r in recs:
-    s = r["step"]
-    if hwm is not None and s <= hwm:
-        assert s in seen, f"step {s} went backwards past any seen step"
-        replay_delta.append(abs(r["weighted_loss"] - first_loss[s]))
-    seen.add(s)
-    first_loss.setdefault(s, r["weighted_loss"])
-    hwm = s if hwm is None else max(hwm, s)
-import statistics
-pre = [r["weighted_loss"] for r in recs if r["step"] <= step_a][-20:]
-post = [r["weighted_loss"] for r in recs if r["step"] > step_a][:20]
-out = {"preempted_at_step": step_a, "resumed_through_step": max(steps),
-       "loss_window_post_resume": round(statistics.mean(post), 4)}
-if replay_delta:
-    out["hard_kill_replayed_steps"] = len(replay_delta)
-    out["replay_max_loss_delta"] = max(replay_delta)
-    assert max(replay_delta) < 1e-3, \
-        "replayed steps did not reproduce the original loss curve"
-if pre:  # a compile-dominated phase A may not have reached a log point
-    out["loss_window_pre_kill"] = round(statistics.mean(pre), 4)
-    assert statistics.mean(post) < 3 * statistics.mean(pre) + 1e-3, \
-        "loss jumped after resume — optimizer state not restored?"
-print(json.dumps(out))
-EOF
+# Graceful preemptions keep steps strictly increasing; hard kills may
+# replay steps that must then reproduce the original loss exactly
+# (tools/campaign_continuity.py, unit-tested in tests/test_aux.py).
+python tools/campaign_continuity.py "$V" "$STEP_A"
 echo "CONTINUITY_EXIT=$?"
 
 # ---- Phase P: promote to release layout ----------------------------------
