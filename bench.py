@@ -303,7 +303,10 @@ def main():
             except Exception as exc:  # noqa: BLE001 — extras never kill the record
                 nscale_extra[f"step_ms_L{n_len}"] = f"failed: {type(exc).__name__}"
     if nscale_extra:
-        nscale_extra[f"step_ms_L{length}"] = round(step_ms, 2)
+        # The headline run's per-step time anchors the table; setdefault so
+        # a DDIM-measured entry for the same length is never overwritten
+        # by this (ancestral-loop) number.
+        nscale_extra.setdefault(f"step_ms_L{length}", round(step_ms, 2))
 
     result = {
         "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",
@@ -404,13 +407,23 @@ if __name__ == "__main__":
         )
     except ValueError:  # malformed knob: main() will report it as degraded
         _scale = 1.0
+    try:
+        _timeout_s = float(os.environ.get("BENCH_TIMEOUT_S", str(1800 * _scale)))
+    except ValueError:  # malformed override: fall back to the scaled default
+        _timeout_s = 1800 * _scale
     threading.Thread(
-        target=_watchdog,
-        args=(float(os.environ.get("BENCH_TIMEOUT_S", str(1800 * _scale))), _done),
-        daemon=True,
+        target=_watchdog, args=(_timeout_s, _done), daemon=True
     ).start()
     try:
         main()
+    except (KeyboardInterrupt, SystemExit):
+        # An operator interrupt is an ABORTED capture, not a degraded
+        # environment: no record, nonzero exit (teardown may hang on the
+        # tunnel, so exit hard).
+        _done.set()
+        sys.stderr.write("bench interrupted; no record emitted\n")
+        sys.stderr.flush()
+        os._exit(130)
     except BaseException as exc:  # noqa: BLE001 — output contract over purity
         # A crash (backend init failure, OOM, anything) must still yield
         # a parseable self-flagged record, not a bare traceback (the

@@ -28,11 +28,23 @@ import statistics
 import sys
 
 
+def load_train_records(version_dir):
+    """All train-prefix records from a run's metrics.jsonl, in file order.
+
+    The single definition of "a train record" for campaign tooling — the
+    shell driver's STEP_A probe and summary both call this, so a change
+    to the logger's serialization cannot silently desynchronize them."""
+    path = os.path.join(version_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return []
+    recs = [json.loads(l) for l in open(path) if l.strip()]
+    return [r for r in recs if r.get("prefix") == "train"]
+
+
 def check_continuity(version_dir, preempt_step):
     """Verify metrics.jsonl continuity across a preemption at
     ``preempt_step``; returns the report dict or raises AssertionError."""
-    path = os.path.join(version_dir, "metrics.jsonl")
-    recs = [json.loads(l) for l in open(path) if '"prefix": "train"' in l]
+    recs = load_train_records(version_dir)
     steps = [r["step"] for r in recs]
     resumed = [s for s in steps if s > preempt_step]
     assert resumed, f"no steps after the preemption point {preempt_step}"

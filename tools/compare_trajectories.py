@@ -89,7 +89,13 @@ def analyze(dump_dir: str, n_timestep: int):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]  # the VALUE must not be parsed as positional T
+    args = [a for a in argv if not a.startswith("--")]
     dump_dir = args[0]
     n_timestep = int(args[1]) if len(args) > 1 else 1000
     rows = analyze(dump_dir, n_timestep)
@@ -116,9 +122,8 @@ def main():
             flush=True,
         )
     print(json.dumps({k: v for k, v in summary.items() if k != "per_step"}))
-    if "--json" in sys.argv:
-        out = sys.argv[sys.argv.index("--json") + 1]
-        with open(out, "w") as f:
+    if json_out is not None:
+        with open(json_out, "w") as f:
             json.dump(summary, f, indent=1)
 
 

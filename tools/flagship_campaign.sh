@@ -120,19 +120,22 @@ if [ ! -f "$D/.phase_a_done" ]; then
     python -m genie2_tpu.cli.train -c "$D/configuration" 2>&1 \
     | grep -viE 'warning' | tail -20
   echo "PHASE_A_EXIT=$?"
-  touch "$D/.phase_a_done"
 fi
 V=$(ls -d "$D"/runs/flagship/version_* | sort -V | tail -1)
 STEP_A=$(python - "$V" <<'EOF'
-import json, os, sys
-p = f"{sys.argv[1]}/metrics.jsonl"
-steps = [json.loads(l)["step"] for l in open(p)
-         if '"prefix": "train"' in l] if os.path.exists(p) else []
-print(steps[-1] if steps else -1)
+import sys
+sys.path.insert(0, "tools")
+from campaign_continuity import load_train_records
+recs = load_train_records(sys.argv[1])
+print(recs[-1]["step"] if recs else -1)
 EOF
 )
 echo "LAST_STEP_PHASE_A=$STEP_A"
+# The phase-A marker is set only once a resume point actually exists —
+# a startup crash or dead tunnel must NOT poison every rerun into
+# skipping phase A straight to NO_RESUME_STATE.
 test -d "$V/checkpoints/resume_state" || { echo "NO_RESUME_STATE"; exit 1; }
+touch "$D/.phase_a_done"
 
 # ---- Phase B: resume; verify continuity ----------------------------------
 timeout -s TERM --kill-after=300 "$PB" \
@@ -186,8 +189,10 @@ import numpy as np
 sys.path.insert(0, ".")
 from genie2_tpu.features import features_from_pdb
 d = sys.argv[1]
-f = features_from_pdb(sorted(os.listdir(f"{d}/corpus"))[0] if False else
-                      f"{d}/corpus/" + sorted(x for x in os.listdir(f"{d}/corpus") if x.endswith(".pdb"))[0])
+f = features_from_pdb(
+    f"{d}/corpus/"
+    + sorted(x for x in os.listdir(f"{d}/corpus") if x.endswith(".pdb"))[0]
+)
 xyz = np.asarray(f["atom_positions"][:8], float)
 xyz -= xyz.mean(0)
 os.makedirs(f"{d}/motifs", exist_ok=True)
@@ -221,9 +226,11 @@ echo "TRAJ_COMPARE_EXIT=$?"
 # ---- Summary ---------------------------------------------------------------
 python - "$D" "$V" "$E" <<'EOF'
 import json, os, sys
+sys.path.insert(0, "tools")
+from campaign_continuity import load_train_records
 d, v, e = sys.argv[1], sys.argv[2], sys.argv[3]
 out = {"version_dir": v, "promoted_epoch": int(e), "quality": {}}
-recs = [json.loads(l) for l in open(f"{v}/metrics.jsonl") if '"prefix": "train"' in l]
+recs = load_train_records(v)
 out["final_step"] = recs[-1]["step"] if recs else None
 out["final_loss"] = recs[-1].get("weighted_loss") if recs else None
 losses = [(r["step"], round(r.get("weighted_loss", float("nan")), 4)) for r in recs]
