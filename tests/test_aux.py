@@ -348,3 +348,102 @@ class TestCampaignContinuity:
         rows = [(50, 0.5), (100, 0.5), (150, 9.0), (200, 9.0)]
         with pytest.raises(AssertionError, match="optimizer"):
             check(self._write(tmp_path, rows), 100)
+
+
+class TestCampaignReport:
+    """tools/campaign_report.py — renders a campaign workdir into the
+    markdown + loss-CSV artifacts committed after a flagship run."""
+
+    @staticmethod
+    def _module():
+        import importlib.util
+        import os
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        spec = importlib.util.spec_from_file_location(
+            "campaign_report",
+            os.path.join(repo, "tools", "campaign_report.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @staticmethod
+    def _make_workdir(tmp_path, version_dir_in_summary=None):
+        import json
+
+        v = tmp_path / "runs" / "flagship" / "version_0"
+        v.mkdir(parents=True)
+        with open(v / "metrics.jsonl", "w") as f:
+            for i in range(1, 41):
+                f.write(json.dumps({
+                    "step": 50 * i, "prefix": "train",
+                    "weighted_loss": 2.0 / i, "residues_per_s": 2000.0 + i,
+                }) + "\n")
+        summary = {
+            "version_dir": version_dir_in_summary or str(v),
+            "promoted_epoch": 3, "final_step": 2000, "final_loss": 0.05,
+            "quality": {
+                "ddpm": {"n_designs": 8, "bond_mean": 3.79,
+                         "bond_frac_ok": 0.98, "clash_frac": 0.01,
+                         "rg_norm": 2.2, "helix_frac": 0.25,
+                         "strand_frac": 0.1, "coil_frac": 0.65},
+                "ddim50": {"n_designs": 8, "bond_mean": 3.81,
+                           "bond_frac_ok": 0.97, "clash_frac": 0.02,
+                           "rg_norm": 2.3, "helix_frac": 0.22,
+                           "strand_frac": 0.1, "coil_frac": 0.68},
+                "smc": {"ess_min": 1.5, "ess_mean": 3.1, "resamples": 42},
+                "trajectory_vs_reference_fixtures": {
+                    "z_std_median": 0.91, "z_unit_scale_ok": True,
+                    "n_steps_dumped": 20},
+            },
+        }
+        (tmp_path / "campaign_summary.json").write_text(json.dumps(summary))
+        (tmp_path / "configuration").write_text(
+            "name flagship\nsingleFeatureDimension 384\ncomputeDtype bf16\n"
+        )
+        (tmp_path / "campaign.log").write_text(
+            "PHASE_B_EXIT=124\n"
+            + json.dumps({"preempted_at_step": 900,
+                          "resumed_through_step": 2000,
+                          "loss_window_post_resume": 0.06}) + "\n"
+            + "CONTINUITY_EXIT=0\n"
+        )
+        return str(tmp_path)
+
+    def test_report_sections_and_values(self, tmp_path):
+        mod = self._module()
+        report = mod.render_report(self._make_workdir(tmp_path))
+        assert "final step: 2000" in report
+        assert "singleFeatureDimension: 384" in report
+        assert "| ddpm | 8 | 3.79 |" in report
+        assert "ESS min/mean: 1.5 / 3.1" in report
+        assert "z_std_median: 0.91" in report
+        assert "preempted at step 900" in report
+        assert "no replays (graceful)" in report
+        # downsampled loss table keeps endpoints
+        assert "| 50 | 2 |" in report and "| 2000 | 0.05 |" in report
+        # and stays within the row budget
+        assert report.count("| weighted_loss |") == 1
+        loss_rows = [l for l in report.splitlines()
+                     if l.startswith("| ") and l.split()[1].isdigit()]
+        assert len(loss_rows) <= 16
+
+    def test_relocated_workdir_resolves_version_dir(self, tmp_path):
+        # summary recorded an absolute path from a previous machine/home
+        mod = self._module()
+        d = self._make_workdir(
+            tmp_path, version_dir_in_summary="/gone/runs/flagship/version_0"
+        )
+        report = mod.render_report(d)
+        assert "| 2000 | 0.05 |" in report  # metrics found via relocation
+
+    def test_loss_csv_full_resolution(self, tmp_path):
+        mod = self._module()
+        d = self._make_workdir(tmp_path)
+        out = tmp_path / "loss.csv"
+        n = mod.write_loss_csv(d, str(out))
+        lines = out.read_text().splitlines()
+        assert n == 40 and len(lines) == 41
+        assert lines[0] == "step,weighted_loss,residues_per_s"
+        assert lines[1].startswith("50,2.0,")
