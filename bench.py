@@ -247,9 +247,17 @@ def main():
     if os.environ.get("BENCH_NSCALE", "1") == "1" and not degraded:
         from genie2_tpu.sampling import ddim_sample
 
-        for n_len in [
-            int(x) for x in os.environ.get("BENCH_NSCALE_LENGTHS", "512,1024").split(",") if x
-        ]:
+        try:
+            nscale_lengths = [
+                int(x)
+                for x in os.environ.get("BENCH_NSCALE_LENGTHS", "512,1024").split(",")
+                if x
+            ]
+        except ValueError as exc:
+            # A typo'd env var must not discard the finished headline run.
+            nscale_lengths = []
+            nscale_extra["lengths"] = f"failed: bad BENCH_NSCALE_LENGTHS ({exc})"
+        for n_len in nscale_lengths:
             try:
                 cfg_n = Config(
                     overrides={"maximumNumResidues": n_len, "numTimesteps": n_steps}
@@ -303,10 +311,14 @@ def main():
             except Exception as exc:  # noqa: BLE001 — extras never kill the record
                 nscale_extra[f"step_ms_L{n_len}"] = f"failed: {type(exc).__name__}"
     if nscale_extra:
-        # The headline run's per-step time anchors the table; setdefault so
-        # a DDIM-measured entry for the same length is never overwritten
-        # by this (ancestral-loop) number.
-        nscale_extra.setdefault(f"step_ms_L{length}", round(step_ms, 2))
+        # Anchor the table at the headline length with the SAME metric —
+        # DDIM-50 per-step ms — so the scaling curve is homogeneous. The
+        # ancestral-loop step_ms amortizes dispatch overhead over 1000
+        # steps instead of 50 and would overstate the L256->L512 ratio.
+        if "ddim50_step_ms" in ddim_extra:
+            nscale_extra.setdefault(
+                f"step_ms_L{length}", ddim_extra["ddim50_step_ms"]
+            )
 
     result = {
         "metric": f"unconditional_samples_per_min_L{length}_{n_steps}step",

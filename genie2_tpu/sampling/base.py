@@ -294,6 +294,15 @@ class BaseSampler(ABC):
                 "dump_trajectory_every requires the full ancestral sampler; "
                 "it cannot be combined with ddim_steps/dpm_steps"
             )
+        if int(params.get("ddim_eta_switch_t") or 0) and not ddim_steps:
+            # The hybrid stochasticity schedule only exists on the DDIM
+            # path (DPM-2M is deterministic by construction; the full
+            # ancestral sampler is already stochastic at every step).
+            # Fail loudly instead of silently running without it.
+            raise ValueError(
+                "ddim_eta_switch_t requires ddim_steps; it has no effect "
+                "on the ancestral or dpm_steps samplers"
+            )
         spacing = str(params.get("fast_spacing") or "uniform")
         if dpm_steps:
             # Second-order multistep (DPM-Solver++ 2M): better fidelity

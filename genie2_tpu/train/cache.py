@@ -142,6 +142,9 @@ def build_packed_cache(
             raise
         if not is_packed_cache(cache_dir):
             raise
+    finally:
+        # Success renames tmp_dir away; every failure path must not leak
+        # a corpus-sized tmp directory into rootdir.
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return PackedCache(cache_dir)
 

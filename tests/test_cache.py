@@ -223,6 +223,29 @@ class TestDatasetBackends:
         assert not [d for d in os.listdir(tmp_path) if ".building" in d]
         assert cache.load(0)["atom_positions"].shape[-1] == 3
 
+    def test_genuine_publish_failure_reraises_without_tmp_debris(
+        self, tmp_path, monkeypatch
+    ):
+        """A non-race os.replace failure (EACCES/EXDEV) must re-raise —
+        there is no winner cache to attach to — AND must not leak the
+        corpus-sized tmp dir into rootdir (a retrying caller would
+        accumulate gigabytes of .building debris otherwise)."""
+        import pytest
+
+        from genie2_tpu.train import cache as cache_mod
+        from genie2_tpu.train.cache import build_packed_cache_from_files
+
+        paths = _write_structures(tmp_path, n=2, monomer_only=True)
+        cdir = str(tmp_path / "cache")
+
+        def failing_replace(src, dst):
+            raise OSError(13, "Permission denied", dst)
+
+        monkeypatch.setattr(cache_mod.os, "replace", failing_replace)
+        with pytest.raises(OSError, match="Permission denied"):
+            build_packed_cache_from_files(paths, cdir)
+        assert not [d for d in os.listdir(tmp_path) if ".building" in d]
+
     def test_second_open_reuses_cache(self, tmp_path):
         paths = _write_structures(tmp_path, n=3)
         cdir = str(tmp_path / "cache")

@@ -157,3 +157,25 @@ class TestDPMSampling:
                     "dpm_steps": 4, "ddim_steps": 4,
                 }
             )
+
+    def test_eta_switch_requires_ddim(self, tmp_path):
+        # The hybrid stochasticity schedule only exists on the DDIM path;
+        # silently ignoring the flag on dpm/ancestral runs would hand the
+        # user a fully deterministic run they did not ask for.
+        import pytest
+        from tests.test_train import init_model, tiny_config
+        from genie2_tpu.sampling import UnconditionalSampler
+
+        config = tiny_config()
+        feats_np = batchify([create_empty_features([24])])
+        model, params = init_model(config, feats_np)
+        sampler = UnconditionalSampler(model, params, config)
+        base = {
+            "scale": 0.6, "outdir": str(tmp_path), "num_samples": 1,
+            "prefix": "24", "offset": 0, "length": 24, "seed": 0,
+            "ddim_eta_switch_t": 2,
+        }
+        with pytest.raises(ValueError, match="requires ddim_steps"):
+            sampler.sample({**base, "dpm_steps": 4})
+        with pytest.raises(ValueError, match="requires ddim_steps"):
+            sampler.sample(base)

@@ -181,8 +181,13 @@ def test_full_config_parity_and_sign_sensitivity():
     # failure. Every observation is >=80x tighter than the reference's
     # own 3.9e-2 sign-reproducibility floor asserted above, which is what
     # a real numerics bug would show up against.
+    # The 5-min average covers load that peaked mid-test but decayed
+    # more than a minute before this sample (the 1-min average alone
+    # would pair contaminated forwards with the tight bound).
     load_per_core = max(
-        load_per_core, os.getloadavg()[0] / (os.cpu_count() or 1)
+        load_per_core,
+        os.getloadavg()[0] / (os.cpu_count() or 1),
+        os.getloadavg()[1] / (os.cpu_count() or 1),
     )
     loaded_host = load_per_core > 1.5
     tol = 5e-4 if loaded_host else 2e-4

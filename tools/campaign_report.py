@@ -42,8 +42,14 @@ def _read_config(workdir):
     path = os.path.join(workdir, "configuration")
     if not os.path.exists(path):
         return {}
-    pairs = (l.split(None, 1) for l in open(path) if l.strip())
-    return {k: v.strip() for k, v in pairs}
+    # Same line discipline as genie2_tpu/config.py: exactly-two-token
+    # lines are key/value pairs, everything else is ignored.
+    out = {}
+    for line in open(path):
+        parts = line.split()
+        if len(parts) == 2:
+            out[parts[0]] = parts[1]
+    return out
 
 
 def _continuity_line(workdir):
@@ -76,14 +82,20 @@ def _fmt(v):
     return str(v)
 
 
-def render_report(workdir):
+def _load_summary_and_records(workdir):
+    """(campaign_summary, train records) — resolves the summary's absolute
+    version_dir relative to workdir when the workdir was relocated."""
     summary = json.load(open(os.path.join(workdir, "campaign_summary.json")))
     version_dir = summary["version_dir"]
-    if not os.path.isdir(version_dir):  # workdir was relocated since the run
+    if not os.path.isdir(version_dir):
         version_dir = os.path.join(
             workdir, "runs", *version_dir.rstrip("/").split("/")[-2:]
         )
-    recs = load_train_records(version_dir)
+    return summary, load_train_records(version_dir)
+
+
+def render_report(workdir):
+    summary, recs = _load_summary_and_records(workdir)
     config = _read_config(workdir)
     lines = ["# Flagship campaign report", ""]
 
@@ -158,13 +170,7 @@ def render_report(workdir):
 
 
 def write_loss_csv(workdir, path):
-    summary = json.load(open(os.path.join(workdir, "campaign_summary.json")))
-    version_dir = summary["version_dir"]
-    if not os.path.isdir(version_dir):
-        version_dir = os.path.join(
-            workdir, "runs", *version_dir.rstrip("/").split("/")[-2:]
-        )
-    recs = load_train_records(version_dir)
+    _, recs = _load_summary_and_records(workdir)
     with open(path, "w") as f:
         f.write("step,weighted_loss,residues_per_s\n")
         for r in recs:

@@ -89,15 +89,15 @@ def analyze(dump_dir: str, n_timestep: int):
 
 
 def main():
-    argv = sys.argv[1:]
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        del argv[i : i + 2]  # the VALUE must not be parsed as positional T
-    args = [a for a in argv if not a.startswith("--")]
-    dump_dir = args[0]
-    n_timestep = int(args[1]) if len(args) > 1 else 1000
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("dump_dir", help="Directory of paired x0/xt dumps")
+    parser.add_argument("n_timestep", nargs="?", type=int, default=1000)
+    parser.add_argument("--json", dest="json_out", default=None,
+                        help="Also write the full summary as JSON")
+    ns = parser.parse_args()
+    dump_dir, n_timestep, json_out = ns.dump_dir, ns.n_timestep, ns.json_out
     rows = analyze(dump_dir, n_timestep)
     if not rows:
         print(json.dumps({"error": f"no paired dumps under {dump_dir}"}))
