@@ -30,7 +30,8 @@ while true; do
   tail -200 "$D/campaign.log" > "$LIVE/campaign_log_tail.txt" 2>/dev/null
   V=$(ls -d "$D"/runs/flagship/version_* 2>/dev/null | sort -V | tail -1)
   if [ -n "${V:-}" ]; then
-    cp "$V"/logs/metrics.jsonl "$LIVE/metrics.jsonl" 2>/dev/null
+    # metrics.jsonl sits at the version root (utils/loggers.py layout).
+    cp "$V"/metrics.jsonl "$LIVE/metrics.jsonl" 2>/dev/null
     cp "$D/configuration" "$LIVE/configuration" 2>/dev/null
     if [ $((i % CKPT_EVERY)) -eq 0 ] && [ -d "$V/checkpoints/resume_state" ]; then
       # Snapshot-then-tar: orbax may be mid-write on the live dir.

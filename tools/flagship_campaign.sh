@@ -160,7 +160,9 @@ cp "$D/configuration" "$D/results/flagship/configuration"
 echo "PROMOTED_EPOCH=$E"
 
 # ---- Phase Q: quality battery ---------------------------------------------
-if [ "$CAMPAIGN_TINY" = "1" ]; then QL=24; NS=2; else QL=128; NS=8; fi
+# QL/NS env overrides let a wall-clock-bounded round shrink the battery
+# without touching the training dims (round-4 restart recovery).
+if [ "$CAMPAIGN_TINY" = "1" ]; then QL=24; NS=2; else QL=${QL:-128}; NS=${NS:-8}; fi
 SAMP="python -m genie2_tpu.cli.sample_unconditional --name flagship --epoch $E \
   --rootdir $D/results --scale 0.6 --num_samples $NS --batch_size $NS \
   --min_length $QL --max_length $QL --length_step 2 --sequential_order"
