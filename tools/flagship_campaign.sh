@@ -160,9 +160,13 @@ cp "$D/configuration" "$D/results/flagship/configuration"
 echo "PROMOTED_EPOCH=$E"
 
 # ---- Phase Q: quality battery ---------------------------------------------
-# QL/NS env overrides let a wall-clock-bounded round shrink the battery
-# without touching the training dims (round-4 restart recovery).
-if [ "$CAMPAIGN_TINY" = "1" ]; then QL=24; NS=2; else QL=${QL:-128}; NS=${NS:-8}; fi
+# CAMPAIGN_QL/CAMPAIGN_NS env overrides let a wall-clock-bounded round
+# shrink the battery without touching the training dims (namespaced in
+# round 5 — the old bare QL/NS names could be silently inherited from a
+# stray exported variable, ADVICE r4). Default NS=32: 4-designs-per-mode
+# made the round-4 mode comparison statistically empty (VERDICT r4 Weak #3).
+if [ "$CAMPAIGN_TINY" = "1" ]; then QL=24; NS=2; else QL=${CAMPAIGN_QL:-128}; NS=${CAMPAIGN_NS:-32}; fi
+echo "QUALITY_BATTERY: QL=$QL NS=$NS"
 SAMP="python -m genie2_tpu.cli.sample_unconditional --name flagship --epoch $E \
   --rootdir $D/results --scale 0.6 --num_samples $NS --batch_size $NS \
   --min_length $QL --max_length $QL --length_step 2 --sequential_order"
@@ -209,11 +213,17 @@ open(f"{d}/motifs/0_corpus.pdb", "w").write("\n".join(lines) + "\n")
 EOF
 rm -rf "$D/q_smc"
 if [ "$CAMPAIGN_TINY" = "1" ]; then DUMP_EVERY=2; else DUMP_EVERY=50; fi
-timeout 900 python -m genie2_tpu.cli.sample_motif_smc --name flagship --epoch "$E" \
+# 1800 s budget: the flagship SMC compile alone is ~8 min on this tunnel
+# (round-4 campaign killed this leg mid-compile at the 900 s budget —
+# VERDICT r4 Missing #3).
+timeout 1800 python -m genie2_tpu.cli.sample_motif_smc --name flagship --epoch "$E" \
   --rootdir "$D/results" --outdir "$D/q_smc" --motif_index 0 \
   --motif_dir "$D/motifs" --num_particles 4 --scale 1.0 \
   --proposal score --dump_trajectory_every "$DUMP_EVERY" 2>&1 | tail -3
 echo "SMC_EXIT=$?"
+python tools/eval_designs.py "$D/q_smc/pdbs" --json "$D/q_smc/eval.json" 2>/dev/null \
+  || python tools/eval_designs.py "$D/q_smc/pdbs" > "$D/q_smc/eval.txt"
+echo "SMC_EVAL_EXIT=$?"
 
 # The SMC dumps are paired x0/xt in the reference writer's exact grammar:
 # compare this trained run's trajectory statistics against the REAL
@@ -241,6 +251,8 @@ for mode in ("ddpm", "ddim50", "hyb", "ema_ddim50"):
     p = f"{d}/q_{mode}/eval.json"
     if os.path.exists(p):
         out["quality"][mode] = json.load(open(p))
+if os.path.exists(f"{d}/q_smc/eval.json"):
+    out["quality"]["smc_eval"] = json.load(open(f"{d}/q_smc/eval.json"))
 ess_log = f"{d}/q_smc/logs/metrics.jsonl"
 if os.path.exists(ess_log):
     tds = [json.loads(l) for l in open(ess_log)]
