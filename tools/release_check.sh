@@ -120,4 +120,11 @@ test -s "$WORKDIR/out/pdbs/24_0.pdb" || { echo "FAIL: no sampled PDB"; exit 1; }
 head -1 "$WORKDIR/out/pdbs/24_0.pdb" | grep -q '^ATOM' \
   || { echo "FAIL: bad PDB"; exit 1; }
 
+# 5. Forced multi-process (DCN) dryrun: test_multihost's load gate can
+#    skip forever on a permanently busy 1-core CI (VERDICT r4 Weak #7),
+#    so the release drill forces one real 2-process run every time.
+cd "$REPO_ROOT"
+MULTIHOST_FORCE=1 python -m pytest tests/test_multihost.py -q -x
+echo "ok: forced multihost dryrun"
+
 echo "== release check PASSED (workdir $WORKDIR) =="
