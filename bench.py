@@ -75,7 +75,9 @@ DEGRADED_FACTOR = 3.0
 # stamps `degraded_probes` even when the 1000-step headline (which
 # amortizes dispatch 20x better than the 50-step extras) still passes.
 HEALTHY_DISPATCH_MS = 23.5
-HEALTHY_MATMUL_TF_S = 182.5
+# Raw (uncorrected) 17.6-TFLOP-chain rate; see probe_matmul_tf_s docstring
+# for the round-5 probe revision that settled the ceiling at ~144-167 raw.
+HEALTHY_MATMUL_TF_S = 144.0
 EXPECTED_DDIM50_STEP_MS = {(256, 1, "bf16"): 4.34}
 
 
@@ -124,13 +126,18 @@ def probe_dispatch_latency_ms(n: int = 5) -> float:
 
 
 def probe_matmul_tf_s(
-    n: int = 2048, iters: int = 256, dispatch_floor_s: float = 0.0
+    n: int = 2048, iters: int = 1024, dispatch_floor_s: float = 0.0
 ) -> float:
     """Raw chained-matmul MXU rate (bf16), device-resident: distinguishes
-    'the chip is slow' from 'the tunnel is slow'. The chain is long enough
-    (~4.4 TFLOP) that compute dominates the fixed per-dispatch latency,
-    which is additionally subtracted (pass the measured floor). Healthy
-    chip: >=60 TF/s at this size (the 104 TF/s ceiling needs 4096^3)."""
+    'the chip is slow' from 'the tunnel is slow'.
+
+    Round-5 revision (tools/mxu_ceiling_study.py): the old 4.4-TFLOP chain
+    ran ~50 ms against a ~25 ms dispatch floor, so subtracting the floor
+    DOUBLED the reported rate (86.5 raw -> 173 "corrected") — the source
+    of the 104-vs-182 TF/s ceiling contradiction in BENCH_NOTES. The chain
+    is now 17.6 TFLOP (~120 ms) and the RAW end-to-end rate is reported,
+    uncorrected. Healthy chip: ~144 TF/s at this size (session peak 167
+    at 4096^3; v5e nominal bf16 peak is 197)."""
     import jax
     import jax.numpy as jnp
 
@@ -148,7 +155,6 @@ def probe_matmul_tf_s(
     t0 = time.perf_counter()
     float(chain(a))
     dt = time.perf_counter() - t0
-    dt = max(dt - dispatch_floor_s, dt / 2)
     return 2 * n**3 * iters / dt / 1e12
 
 
@@ -246,7 +252,7 @@ def main():
 
     # Environment self-diagnosis (see module docstring).
     dispatch_ms = probe_dispatch_latency_ms()
-    matmul_tf = probe_matmul_tf_s(dispatch_floor_s=dispatch_ms / 1e3)
+    matmul_tf = probe_matmul_tf_s()
     expected, degraded = diagnose_degraded(step_ms, length, batch, dtype)
     degraded_probes = diagnose_probes(dispatch_ms, matmul_tf)
 

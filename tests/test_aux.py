@@ -110,14 +110,16 @@ class TestBenchDiagnosis:
         bench = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(bench)
 
-        # The r4 official capture's probe values: both probes flag.
-        bad = bench.diagnose_probes(46.86, 73.9)
-        assert len(bad) == 1  # dispatch 2.0x exactly -> only matmul flags
+        # A degraded session (the r4 official capture was dispatch 46.9,
+        # matmul at ~40% of healthy on the old probe scale):
+        bad = bench.diagnose_probes(46.86, 60.0)
+        assert len(bad) == 1  # dispatch 46.86 < 2x23.5 -> only matmul flags
         assert "matmul" in bad[0]
-        bad = bench.diagnose_probes(47.1, 73.9)
+        bad = bench.diagnose_probes(47.1, 60.0)
         assert len(bad) == 2
-        # The healthy artifact's values: clean.
-        assert bench.diagnose_probes(23.45, 182.5) == []
+        # Healthy round-5 values: clean.
+        assert bench.diagnose_probes(23.45, 144.0) == []
+        assert bench.diagnose_probes(26.63, 150.0) == []
 
     @staticmethod
     def _assert_one_degraded_record(proc):

@@ -163,22 +163,37 @@ def sampling_step_flops_and_ms():
 
     trans = jax.random.normal(jax.random.PRNGKey(2), (1, length, 3), jnp.float32)
     compiled = jax.jit(run_segment).lower(params, trans, feats).compile()
+    # XLA cost analysis counts a while/scan BODY once (it cannot know the
+    # trip count), so the reported flops ARE per-step already — the first
+    # run of this tool divided by seg again and "found" 2.8 GFLOP/step;
+    # x100 recovers the 280 GFLOP that matches BENCH_NOTES' hand count
+    # (285.9 GFLOP). Same for bytes accessed.
     try:
-        flops = compiled.cost_analysis()["flops"] / seg
+        ca = compiled.cost_analysis()
+        flops = ca["flops"]
+        bytes_accessed = ca.get("bytes accessed")
     except Exception:
-        flops = None
+        flops = bytes_accessed = None
     _sync(compiled(params, trans, feats))  # load on chip
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         _sync(compiled(params, trans, feats))
         best = min(best, time.perf_counter() - t0)
-    return flops, best / seg * 1e3
+    return flops, bytes_accessed, best / seg * 1e3
 
 
 def main():
     floor = dispatch_floor_s()
     out = {"dispatch_floor_ms": round(floor * 1e3, 2), "rates": {}}
+    if os.environ.get("MXU_STEP_ONLY") == "1":
+        # Targeted re-run of just the step analysis (the chains are ~9 min
+        # of chip time); peak defaults to the full run's measured value.
+        out["rates"]["bf16_n4096"] = {"tf_s_raw": 166.9}
+        flops, bytes_accessed, step_ms = sampling_step_flops_and_ms()
+        _emit_step(out, flops, bytes_accessed, step_ms)
+        print(json.dumps(out), flush=True)
+        return
 
     # FLOP budget per chain >=17 TFLOP so compute >> the ~26 ms dispatch
     # floor everywhere (chains stay well under the ~60 s watchdog).
@@ -205,9 +220,17 @@ def main():
         "tf_s_raw": raw, "tf_s_floor_corrected": corr, "chain_ms": ms
     }
 
-    flops, step_ms = sampling_step_flops_and_ms()
+    flops, bytes_accessed, step_ms = sampling_step_flops_and_ms()
+    _emit_step(out, flops, bytes_accessed, step_ms)
+    print(json.dumps(out), flush=True)
+
+
+def _emit_step(out, flops, bytes_accessed, step_ms):
     out["sampling_step"] = {
-        "xla_cost_analysis_gflop": round(flops / 1e9, 1) if flops else None,
+        "xla_cost_analysis_gflop_per_step": round(flops / 1e9, 1) if flops else None,
+        "xla_bytes_accessed_mb_per_step": (
+            round(bytes_accessed / 1e6, 1) if bytes_accessed else None
+        ),
         "dispatched_step_ms": round(step_ms, 2),
     }
     if flops:
@@ -218,7 +241,19 @@ def main():
         )
         out["sampling_step"]["mfu_vs_session_peak"] = round(achieved / peak, 3)
         out["sampling_step"]["session_peak_tf_s"] = peak
-    print(json.dumps(out), flush=True)
+        if bytes_accessed:
+            # Roofline: which ceiling binds this op mix? (HBM ~280 GB/s
+            # measured on this chip, CLAUDE.md gotcha #10.)
+            intensity = flops / bytes_accessed
+            out["sampling_step"]["arithmetic_intensity_flop_per_byte"] = round(
+                intensity, 1
+            )
+            out["sampling_step"]["hbm_bound_time_ms_at_280GBs"] = round(
+                bytes_accessed / 280e9 * 1e3, 2
+            )
+            out["sampling_step"]["mxu_bound_time_ms_at_peak"] = round(
+                flops / (peak * 1e12) * 1e3, 2
+            )
 
 
 if __name__ == "__main__":
