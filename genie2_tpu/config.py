@@ -144,6 +144,12 @@ class Config:
             # synchronous). Counterpart of the reference's DataLoader
             # workers (data_module.py:145-179).
             "prefetch_depth": int(c.get("prefetchDepth", 2)),
+            # Optimizer steps per device dispatch (lax.scan over K stacked
+            # batches; 1 = classic one-step dispatch). Amortizes the
+            # tunnel's per-dispatch host issue cost exactly like the
+            # samplers' steps_per_dispatch; numerics are step-identical
+            # (train/state.make_train_scan_step). No reference counterpart.
+            "scan_steps": int(c.get("scanSteps", 1)),
         }
         self.optimization = {
             "lr": float(c.get("learningRate", 1e-4)),

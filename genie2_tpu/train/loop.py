@@ -30,7 +30,12 @@ from genie2_tpu.nn import Denoiser
 from genie2_tpu.parallel import create_mesh, replicate, shard_batch
 from genie2_tpu.train.data import StructureDataset
 from genie2_tpu.train.prefetch import prefetch
-from genie2_tpu.train.state import TrainState, create_train_state, make_train_step
+from genie2_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_train_scan_step,
+    make_train_step,
+)
 from genie2_tpu.utils.model_io import init_params, load_params, save_params
 
 
@@ -156,6 +161,22 @@ class Trainer:
             compute_dtype=config.tpu.get("compute_dtype", "fp32"),
             ema_decay=config.training.get("ema_decay", 0.0),
         )
+        self._scan_step_fn = None
+        if config.training.get("scan_steps", 1) > 1:
+            if self.mesh is not None:
+                raise ValueError(
+                    "scanSteps > 1 is single-device only for now (stacked "
+                    "batches are not mesh-sharded); drop meshSeq/meshModel "
+                    "or set scanSteps 1"
+                )
+            self._scan_step_fn = make_train_scan_step(
+                self.model,
+                self.schedule,
+                self._tx,
+                config.training["condition_loss_weight"],
+                compute_dtype=config.tpu.get("compute_dtype", "fp32"),
+                ema_decay=config.training.get("ema_decay", 0.0),
+            )
 
     def _save_tree(self, path, tree):
         if self._saver is not None:
@@ -340,6 +361,7 @@ class Trainer:
         cfg = self.config.training
         n_epoch = n_epoch if n_epoch is not None else cfg["n_epoch"]
         batch_size = cfg["batch_size"]
+        scan_k = cfg.get("scan_steps", 1) if self._scan_step_fn is not None else 1
         base_key = jax.random.PRNGKey(cfg["seed"])
         start_epoch, start_batch = 0, 0
         if resume:
@@ -388,35 +410,151 @@ class Trainer:
         # defeat the prefetch overlap entirely.
         step = int(self.state.step)
         t0 = time.perf_counter()
+        # Instantaneous-throughput window (round 5): the old cumulative
+        # residues_done/(t-t0) average folded compile/startup into every
+        # later reading — the round-4 campaign's "66 ms/step" was largely
+        # this artifact (the loop itself measures 37 ms, variant E of
+        # tools/diagnose_train_gap.py). Rate is now computed between
+        # consecutive logged steps.
+        win_res, win_t = 0, t0
+
+        # fold_in(epoch_key, b) issued per step is a separate device
+        # dispatch; on the tunneled TPU each dispatch costs ~7-9 ms of
+        # host-side issue time (diagnose_train_gap variant E). Precompute
+        # the identical keys in CHUNKed one-dispatch batches and hand the
+        # step a host-resident (2,) uint32 key that rides the step's own
+        # call — byte-identical RNG stream, one fewer dispatch per step.
+        KEY_CHUNK = 512
+
+        def key_table(epoch_key, start):
+            ks = jax.vmap(lambda b: jax.random.fold_in(epoch_key, b))(
+                start + jnp.arange(KEY_CHUNK)
+            )
+            return np.asarray(jax.device_get(ks))
+
         try:
             for epoch in range(start_epoch, n_epoch):
                 epoch_key = jax.random.fold_in(base_key, epoch)
                 data_rng = np.random.default_rng([cfg["seed"], epoch])
                 skip = start_batch if epoch == start_epoch else 0
-                batches = prefetch(
-                    dataset.epoch(batch_size, data_rng, start_batch=skip), place, depth
-                )
+                keys = key_table(epoch_key, skip)
+                keys_start = skip
+
+                def log_window(step_i, metrics_i):
+                    nonlocal win_res, win_t
+                    now = time.perf_counter()
+                    metrics_i["residues_per_s"] = (
+                        (residues_done - win_res) / (now - win_t)
+                    )
+                    win_res, win_t = residues_done, now
+                    self.logger.log(step_i, metrics_i)
+
+                if scan_k > 1:
+                    # K steps per dispatch (scanSteps>1): group K numpy
+                    # batches, stack on the prefetch thread, run the
+                    # lax.scan step. A short tail group (< K) falls back
+                    # to the single-step program.
+                    def grouped_epoch():
+                        buf = []
+                        for np_batch in dataset.epoch(
+                            batch_size, data_rng, start_batch=skip
+                        ):
+                            buf.append(np_batch)
+                            if len(buf) == scan_k:
+                                yield buf
+                                buf = []
+                        if buf:
+                            yield buf
+
+                    def place_group(group):
+                        n_res = sum(int(g["residue_mask"].sum()) for g in group)
+                        if len(group) == scan_k:
+                            stacked = {
+                                k2: np.stack([g[k2] for g in group])
+                                for k2 in group[0]
+                            }
+                            return len(group), n_res, to_device(stacked)
+                        return len(group), n_res, [to_device(g) for g in group]
+
+                    batches = prefetch(grouped_epoch(), place_group, depth)
+                else:
+                    batches = prefetch(
+                        dataset.epoch(batch_size, data_rng, start_batch=skip),
+                        place,
+                        depth,
+                    )
                 try:
-                    for b, (n_res, device_batch) in enumerate(batches, start=skip):
-                        step_key = jax.random.fold_in(epoch_key, b)
-                        self.state, metrics = self._step_fn(self.state, device_batch, step_key)
-                        step += 1
-                        residues_done += n_res
-                        metrics = dict(metrics)
-                        metrics["residues_per_s"] = residues_done / (time.perf_counter() - t0)
-                        self.logger.log(step, metrics)
-                        if save_state_every_n_step and (b + 1) % save_state_every_n_step == 0:
-                            self.save_state(epoch, b + 1)
-                        if preempt["signum"] is not None:
-                            path = self.save_state(epoch, b + 1)
-                            print(
-                                f"[preempt] signal {preempt['signum']}: saved "
-                                f"{path} (epoch {epoch}, batch {b + 1}, step "
-                                f"{step}); exiting cleanly — restart with "
-                                "--resume",
-                                flush=True,
-                            )
-                            return self.state
+                    if scan_k > 1:
+                        b_cur = skip
+                        for k_eff, n_res, placed in batches:
+                            if b_cur - keys_start + k_eff > KEY_CHUNK:
+                                keys = key_table(epoch_key, b_cur)
+                                keys_start = b_cur
+                            off = b_cur - keys_start
+                            kslice = keys[off : off + k_eff]
+                            scan_metrics = last_metrics = None
+                            if isinstance(placed, list):  # tail group
+                                for i, db in enumerate(placed):
+                                    self.state, last_metrics = self._step_fn(
+                                        self.state, db, kslice[i]
+                                    )
+                            else:
+                                self.state, scan_metrics = self._scan_step_fn(
+                                    self.state, placed, kslice
+                                )
+                            step0 = step
+                            step += k_eff
+                            residues_done += n_res
+                            for i in range(k_eff):
+                                s_i = step0 + i + 1
+                                if s_i % self.logger.log_every != 0:
+                                    continue
+                                if scan_metrics is not None:
+                                    log_window(
+                                        s_i,
+                                        {k2: v[i] for k2, v in scan_metrics.items()},
+                                    )
+                                elif i == k_eff - 1:  # tail: last step only
+                                    log_window(s_i, dict(last_metrics))
+                            b_cur += k_eff
+                            if save_state_every_n_step and (
+                                b_cur // save_state_every_n_step
+                                > (b_cur - k_eff) // save_state_every_n_step
+                            ):
+                                self.save_state(epoch, b_cur)
+                            if preempt["signum"] is not None:
+                                path = self.save_state(epoch, b_cur)
+                                print(
+                                    f"[preempt] signal {preempt['signum']}: saved "
+                                    f"{path} (epoch {epoch}, batch {b_cur}, step "
+                                    f"{step}); exiting cleanly — restart with "
+                                    "--resume",
+                                    flush=True,
+                                )
+                                return self.state
+                    else:
+                        for b, (n_res, device_batch) in enumerate(batches, start=skip):
+                            if b - keys_start >= KEY_CHUNK:
+                                keys = key_table(epoch_key, b)
+                                keys_start = b
+                            step_key = keys[b - keys_start]
+                            self.state, metrics = self._step_fn(self.state, device_batch, step_key)
+                            step += 1
+                            residues_done += n_res
+                            if step % self.logger.log_every == 0:
+                                log_window(step, dict(metrics))
+                            if save_state_every_n_step and (b + 1) % save_state_every_n_step == 0:
+                                self.save_state(epoch, b + 1)
+                            if preempt["signum"] is not None:
+                                path = self.save_state(epoch, b + 1)
+                                print(
+                                    f"[preempt] signal {preempt['signum']}: saved "
+                                    f"{path} (epoch {epoch}, batch {b + 1}, step "
+                                    f"{step}); exiting cleanly — restart with "
+                                    "--resume",
+                                    flush=True,
+                                )
+                                return self.state
                 finally:
                     if hasattr(batches, "close"):
                         batches.close()

@@ -46,20 +46,15 @@ def create_train_state(
     )
 
 
-def make_train_step(
+def _build_step_impl(
     model,
     schedule: Schedule,
     tx,
     condition_loss_weight: float,
     compute_dtype: str = "fp32",
-    ema_decay: float = 0.0,
 ):
-    """Build the jitted training step. Returned fn signature:
-    (state, features, key) -> (state, metrics).
-
-    compute_dtype="bf16" runs the denoiser forward/backward in bfloat16
-    (parameters, optimizer state, loss and update stay fp32 — standard
-    mixed precision; bf16's dynamic range needs no loss scaling)."""
+    """Shared un-jitted single-step body for make_train_step (one step per
+    dispatch) and make_train_scan_step (K steps per dispatch)."""
     from genie2_tpu.nn.policy import make_apply_fn
 
     apply_fn = make_apply_fn(model, compute_dtype)
@@ -100,8 +95,71 @@ def make_train_step(
             )
         return TrainState(params, opt_state, state.step + 1, ema), metrics
 
+    return train_step_impl
+
+
+def make_train_step(
+    model,
+    schedule: Schedule,
+    tx,
+    condition_loss_weight: float,
+    compute_dtype: str = "fp32",
+    ema_decay: float = 0.0,
+):
+    """Build the jitted training step. Returned fn signature:
+    (state, features, key) -> (state, metrics).
+
+    compute_dtype="bf16" runs the denoiser forward/backward in bfloat16
+    (parameters, optimizer state, loss and update stay fp32 — standard
+    mixed precision; bf16's dynamic range needs no loss scaling)."""
+    train_step_impl = _build_step_impl(
+        model, schedule, tx, condition_loss_weight, compute_dtype
+    )
+
     @jax.jit
     def train_step(state: TrainState, features: Dict, key) -> Tuple[TrainState, Dict]:
         return train_step_impl(state, features, key, ema_decay)
 
     return train_step
+
+
+def make_train_scan_step(
+    model,
+    schedule: Schedule,
+    tx,
+    condition_loss_weight: float,
+    compute_dtype: str = "fp32",
+    ema_decay: float = 0.0,
+):
+    """K optimizer steps per dispatch via lax.scan (config key scanSteps).
+
+    Motivation (round 5, tools/diagnose_train_gap.py variant E): on the
+    tunneled TPU the host pays ~7-15 ms of issue cost per dispatch, which
+    rivals the ~24 ms device step — the single-step training loop is
+    HOST-bound. Scanning K steps amortizes the issue cost K-fold, the same
+    trick the samplers use (steps_per_dispatch).
+
+    Step-for-step numerics are identical to K make_train_step calls: the
+    scan body IS the single-step impl, consuming one key per step
+    (tests/test_train.py asserts param equality on CPU).
+
+    Returned fn signature:
+      (state, stacked_features with leading [K] axis, keys[K, 2])
+        -> (state, metrics each with leading [K] axis)
+    """
+    train_step_impl = _build_step_impl(
+        model, schedule, tx, condition_loss_weight, compute_dtype
+    )
+
+    @jax.jit
+    def train_scan_step(
+        state: TrainState, features: Dict, keys
+    ) -> Tuple[TrainState, Dict]:
+        def body(st, xs):
+            f, k = xs
+            st, metrics = train_step_impl(st, f, k, ema_decay)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (features, keys))
+
+    return train_scan_step

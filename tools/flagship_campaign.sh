@@ -108,6 +108,7 @@ learningRate 1e-4
 computeDtype bf16
 remat True
 validationSplit 0.02
+scanSteps 8
 EOF
 fi
 
