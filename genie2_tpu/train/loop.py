@@ -56,7 +56,11 @@ class MetricsLogger:
         )
 
     def log(self, step: int, metrics: Dict, prefix: str = "train"):
-        if step % self.log_every != 0:
+        # The step cadence only thins the per-step train stream; epoch-level
+        # records (val_loss) land on arbitrary steps and were silently
+        # dropped whenever the epoch length wasn't a cadence multiple
+        # (round-5 fix).
+        if prefix == "train" and step % self.log_every != 0:
             return
         floats = {k: float(np.asarray(v)) for k, v in metrics.items()}
         self._set.log(step, floats, prefix)

@@ -611,3 +611,21 @@ class TestScanSteps:
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5
             )
+
+
+def test_val_records_bypass_log_cadence(tmp_path):
+    """val_loss lands on arbitrary (epoch-end) steps; the train-stream
+    thinning cadence must not drop it (round-5 fix)."""
+    import json
+
+    from genie2_tpu.train.loop import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), log_every=50)
+    lg.log(7, {"weighted_loss": 1.0})  # off-cadence train record: thinned
+    lg.log(7, {"val_loss": 2.0}, prefix="val")  # must land regardless
+    lg.log(50, {"weighted_loss": 0.5})  # on-cadence train record: lands
+    lg.finish()
+    with open(tmp_path / "metrics.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    assert [r["prefix"] for r in recs] == ["val", "train"]
+    assert recs[0]["val_loss"] == 2.0
