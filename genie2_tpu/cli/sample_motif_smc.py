@@ -42,6 +42,7 @@ def run(args):
             "twist_rotations": getattr(args, "twist_rotations", False),
             "rot_tausq": getattr(args, "rot_tausq", 0.1),
             "proposal": getattr(args, "proposal", "posterior"),
+            "score_grad_cap": getattr(args, "score_grad_cap", 0.0),
         }
     )
     import numpy as np
@@ -144,6 +145,12 @@ def main():
                              "score on the reparameterized transition (the "
                              "reference's dev formulation, with full SMC "
                              "weights kept)")
+    parser.add_argument("--score_grad_cap", type=float, default=0.0,
+                        help="Soft norm bound on the score proposal's "
+                             "gradient term (0 = off, dev-faithful). The "
+                             "uncapped dev formulation diverges at flagship "
+                             "scale (the reference commented its own cap "
+                             "out); a cap of ~1-10 keeps it finite")
     parser.add_argument("--rot_tausq", type=float, default=0.1,
                         help="tau^2 for the rotation-term x-start variance "
                              "heuristic (with --twist_rotations)")

@@ -77,6 +77,7 @@ class TDSTrace(NamedTuple):
         "untwist_below",
         "ess_frac",
         "proposal",
+        "score_grad_cap",
     ),
 )
 def _tds_segment(
@@ -97,6 +98,7 @@ def _tds_segment(
     rot_mask: Optional[jnp.ndarray] = None,
     rot_tausq: float = 0.1,
     proposal: str = "posterior",
+    score_grad_cap: float = 0.0,
 ):
     """One jitted scan segment of the twisted SMC reverse trajectory.
     carry = (trans, log_proposal, log_w_acc, key).
@@ -208,6 +210,16 @@ def _tds_segment(
             delta = (schedule.betas[t] / schedule.sqrt_alphas[t]) * (
                 grad / (var * n_particles)
             )
+            if score_grad_cap:
+                # The dev reference COMMENTED OUT its norm cap
+                # (smc_sampler_new_new.py:745-771) and the faithful
+                # uncapped form DIVERGES at flagship scale within ~2
+                # steps (round-5 campaign, artifacts/campaign_r5/
+                # smc_score_trace_DIVERGED.jsonl: motif_dist 1e11 at
+                # step 1). Optional soft norm bound |delta| < cap;
+                # 0 (default) keeps the dev-faithful behavior.
+                dnorm = jnp.linalg.norm(delta)
+                delta = delta * (score_grad_cap / (score_grad_cap + dnorm))
         else:
             # Production: norm-capped g twists x-hat-0,
             # g <- g * a|g| / (a + |g|) (unconditional_smc.py:485-490).
@@ -289,6 +301,7 @@ def tds_sample(
     rot_mask: Optional[jnp.ndarray] = None,
     rot_tausq: float = 0.1,
     proposal: str = "posterior",
+    score_grad_cap: float = 0.0,
 ):
     """Run the full twisted SMC reverse trajectory, segmented into bounded
     dispatches (the step includes a full backward pass; long single
@@ -337,6 +350,7 @@ def tds_sample(
             scale,
             untwist_below=untwist_below,
             grad_alpha=grad_alpha,
+            score_grad_cap=score_grad_cap,
             tausq=tausq,
             ess_frac=ess_frac,
             motif_rots=motif_rots,
@@ -482,6 +496,7 @@ class SMCSampler(BaseSampler):
             rot_mask=rot_mask,
             rot_tausq=float(params.get("rot_tausq") or 0.1),
             proposal=params.get("proposal") or "posterior",
+            score_grad_cap=float(params.get("score_grad_cap") or 0.0),
         )
 
         self.trace = jax.tree_util.tree_map(np.asarray, trace)

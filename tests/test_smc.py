@@ -677,3 +677,55 @@ class TestSMCEndToEnd:
             )
             placements[dtype] = sampler.final_placement
         assert placements["bf16"] == placements["fp32"], placements
+
+
+class TestScoreGradCap:
+    def test_cap_bounds_score_proposal_and_vanishes_when_large(self):
+        """score_grad_cap soft-bounds the score proposal's gradient term
+        (the dev-faithful uncapped form diverged at flagship scale in the
+        round-5 campaign). cap -> inf must recover the uncapped proposal;
+        a tight cap must change it while keeping everything finite."""
+        from genie2_tpu.diffusion import Schedule
+        from genie2_tpu.features import batchify, create_empty_features, to_device
+        from genie2_tpu.sampling.smc import _tds_segment
+        from genie2_tpu.sampling.twisting import (
+            enumerate_motif_placements,
+            placements_to_positions,
+        )
+
+        P, L, T, t = 3, 12, 8, 6
+        schedule = Schedule.create(T)
+        feats = to_device(batchify([create_empty_features([L])] * P))
+        positions = jnp.asarray(
+            placements_to_positions(enumerate_motif_placements(L, [3]))
+        )
+        target = jnp.asarray(
+            np.random.default_rng(0).normal(size=(3, 3)).astype(np.float32) * 50.0
+        )
+        trans0 = jax.random.normal(jax.random.PRNGKey(3), (P, L, 3))
+        key = jax.random.PRNGKey(9)
+
+        def apply_fn(params, rigids, t_vec, features):
+            return {"z": jnp.zeros_like(rigids.trans)}
+
+        def run(cap):
+            carry = (trans0, jnp.zeros((P,)), jnp.zeros((P,)), key)
+            (nt, _, _, _), _, _, _ = _tds_segment(
+                apply_fn, None, schedule, feats, positions, target,
+                carry, jnp.asarray([t]), jnp.float32(1.0),
+                untwist_below=1, ess_frac=0.0, proposal="score",
+                score_grad_cap=cap,
+            )
+            return np.asarray(nt)
+
+        uncapped = run(0.0)
+        huge = run(1e9)
+        tight = run(1.0)
+        assert np.isfinite(uncapped).all()
+        assert np.isfinite(tight).all()
+        np.testing.assert_allclose(huge, uncapped, rtol=1e-5, atol=1e-5)
+        assert not np.allclose(tight, uncapped, atol=1e-4)
+        # The capped twist displacement is bounded by the cap.
+        # (Reconstruct delta = capped_mean - uncapped-mean difference via
+        # the two runs sharing noise: tight - uncapped = delta_t - delta_u.)
+        assert np.linalg.norm(tight - uncapped) < np.linalg.norm(uncapped) + 10.0
